@@ -1,0 +1,242 @@
+"""MokA adapter math as pure, vectorized JAX ops.
+
+MokA ("Multimodal low-rank Adaptation", arXiv 2506.05191) augments each frozen
+linear projection with:
+
+  1. per-modality LoRA-A down projections, applied only to that modality's
+     tokens (token-level modality masks),
+  2. cross-modal attention in rank space: non-text tokens attend to the
+     *question* tokens' A-projected representations, added residually with a
+     scalar weight,
+  3. one shared LoRA-B up projection over the combined rank-space stream.
+
+The reference implements this with per-sample Python loops over the batch
+(``AudioVisualText/peft_hyper/tuners/lora.py:460-531`` and
+``VisualText/modified_peft/tuners/lora/layer.py:548-681``).  Here the whole
+thing is a handful of batched einsums: because the modality masks are
+per-token row scalings, ``(x * m) @ A == m * (x @ A)``, and the per-sample
+"slice the contiguous question span" key selection is exactly a masked
+softmax (the question mask is contiguous by construction — it covers the
+tokens between ``<question_start>`` and ``<question_end>``, reference
+``unified_arch.py:153-163``).  Everything maps onto MXU matmuls + a tiny
+rank-space attention, with no data-dependent shapes, so XLA fuses it into the
+surrounding projection.
+
+Two flavors exist in the reference and are unified here behind one function:
+
+* AVT (tri-modal): A outputs pre-scaled by ``alpha / r0`` (``lora.py:325-329,
+  403,477``), attention for video and audio streams with residual weight
+  ``blc_weight`` (``lora.py:424,446,499,521``), no post-B scaling.
+* VT (bi-modal): A outputs unscaled, attention for the image stream with
+  residual weight ``attn_weight`` (``layer.py:653``), post-B scaling applied
+  per token row by modality (``layer.py:662-668``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MokaSpec:
+    """Static description of one MokA adapter family.
+
+    Attributes:
+      num_modalities: number of per-modality A matrices (index 0 is always
+        text; the question tokens are a subset of the text tokens).
+      rank: LoRA rank r (the reference's AVT flavor encodes per-modality ranks
+        as digits of one int, e.g. ``r=444`` -> three rank-4 A's; only equal
+        ranks are ever used, and the shared B forces them equal anyway).
+      attn_modalities: which modality streams run rank-space cross-attention
+        against the question tokens (AVT: (1, 2) = video+audio; VT: (1,)).
+      attn_weight: scalar weight on the attention residual (AVT
+        ``blc_weight``, VT ``attn_weight``).
+      pre_scale: scalar applied to every A output *before* attention
+        (AVT: ``lora_alpha / rank``; VT: 1.0).
+      post_scales: per-modality scalars applied to B output on that
+        modality's token rows (AVT: all 1.0; VT: ``alpha/r`` per adapter).
+        ``None`` means "all ones" (skip the per-token scaling entirely).
+      dropout_rate: LoRA dropout on the A input (train only).
+    """
+
+    num_modalities: int
+    rank: int
+    attn_modalities: tuple[int, ...]
+    attn_weight: float
+    pre_scale: float = 1.0
+    post_scales: tuple[float, ...] | None = None
+    dropout_rate: float = 0.0
+
+    @staticmethod
+    def avt(rank: int = 4, lora_alpha: float = 16.0, blc_weight: float = 1.0,
+            dropout_rate: float = 0.05) -> "MokaSpec":
+        """Tri-modal (text/video/audio) flavor — reference ``lora.py:277-532``."""
+        return MokaSpec(
+            num_modalities=3,
+            rank=rank,
+            attn_modalities=(1, 2),
+            attn_weight=blc_weight,
+            pre_scale=lora_alpha / rank,
+            post_scales=None,
+            dropout_rate=dropout_rate,
+        )
+
+    @staticmethod
+    def vt(rank: int = 4, lora_alpha: float = 16.0, attn_weight: float = 0.05,
+           dropout_rate: float = 0.05, use_rslora: bool = False) -> "MokaSpec":
+        """Bi-modal (text/image) flavor — reference ``layer.py:389-681``."""
+        scale = lora_alpha / math.sqrt(rank) if use_rslora else lora_alpha / rank
+        return MokaSpec(
+            num_modalities=2,
+            rank=rank,
+            attn_modalities=(1,),
+            attn_weight=attn_weight,
+            pre_scale=1.0,
+            post_scales=(scale, scale),
+            dropout_rate=dropout_rate,
+        )
+
+
+def init_moka_params(rng: Array, d_in: int, d_out: int, spec: MokaSpec,
+                     dtype=jnp.float32) -> dict:
+    """Kaiming-uniform A (fan_in mode, gain for a=sqrt(5)), zero B.
+
+    Matches torch's ``kaiming_uniform_(w, a=math.sqrt(5))`` on a (r, d_in)
+    weight: bound = sqrt(6 / ((1 + a^2) * fan_in)) = 1/sqrt(d_in)
+    (reference ``lora.py:343-348``).
+    """
+    bound = 1.0 / math.sqrt(d_in)
+    a = jax.random.uniform(
+        rng, (spec.num_modalities, d_in, spec.rank), dtype=jnp.float32,
+        minval=-bound, maxval=bound).astype(dtype)
+    b = jnp.zeros((spec.rank, d_out), dtype=dtype)
+    return {"a": a, "b": b}
+
+
+def rank_space_cross_attention(q: Array, keys: Array, question_mask: Array,
+                               dk: float) -> Array:
+    """softmax(q @ keys^T / sqrt(dk)) @ keys, keys masked to question tokens.
+
+    q: (b, L, r) queries (a modality's A-projected stream, all positions —
+       non-modality rows are zero and get masked out by the caller).
+    keys: (b, L, r) question-token stream (zero outside the question span).
+    question_mask: (b, L) 0/1.
+    Softmax runs in float32 (the r=4 logits are tiny; fp32 costs nothing and
+    matches the reference's fp32-by-default adapter math).
+    """
+    scores = jnp.einsum("blr,bkr->blk", q, keys,
+                        preferred_element_type=jnp.float32,
+                        precision="highest")
+    scores = scores / jnp.sqrt(jnp.float32(dk))
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores.dtype)
+    scores = jnp.where(question_mask[:, None, :] > 0, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Samples with no question tokens at all: attention contributes nothing
+    # (the VT reference skips them — layer.py:636-637).
+    has_q = jnp.sum(question_mask, axis=-1) > 0
+    probs = jnp.where(has_q[:, None, None], probs, 0.0)
+    return jnp.einsum("blk,bkr->blr", probs.astype(keys.dtype), keys)
+
+
+def moka_delta(x: Array, lora_a: Array, lora_b: Array,
+               modality_masks: Array, question_mask: Array,
+               spec: MokaSpec, *, dropout_rng: Array | None = None) -> Array:
+    """The MokA low-rank delta for one linear layer (add to the frozen base).
+
+    Args:
+      x: (b, L, d_in) input activations.
+      lora_a: (M, d_in, r) per-modality down projections (0 = text).
+      lora_b: (r, d_out) shared up projection.
+      modality_masks: (M, b, L) 0/1 token-level modality masks (disjoint).
+      question_mask: (b, L) 0/1 mask of the question span (subset of text).
+      spec: static MokaSpec.
+      dropout_rng: if given and spec.dropout_rate > 0, applies LoRA dropout
+        to the A input (training).
+
+    Returns:
+      (b, L, d_out) delta.
+    """
+    m, _, r = lora_a.shape
+    assert m == spec.num_modalities and r == spec.rank
+
+    x_d = x
+    if dropout_rng is not None and spec.dropout_rate > 0.0:
+        keep = 1.0 - spec.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, x.shape)
+        x_d = jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+    # (x * mask_i) @ A_i == mask_i * (x @ A_i): one batched matmul for all
+    # modalities, masked afterwards.  (M, b, L, r)
+    a_all = jnp.einsum("bld,mdr->mblr", x_d, lora_a,
+                       preferred_element_type=jnp.float32,
+                        precision="highest")
+    a_all = a_all * modality_masks[..., None] * jnp.float32(spec.pre_scale)
+
+    keys = a_all[0] * question_mask[..., None]  # (b, L, r)
+
+    buffer = jnp.sum(a_all, axis=0)
+    for i in spec.attn_modalities:
+        attn = rank_space_cross_attention(a_all[i], keys, question_mask,
+                                          dk=spec.rank)
+        buffer = buffer + modality_masks[i][..., None] * (
+            jnp.float32(spec.attn_weight) * attn)
+
+    delta = jnp.einsum("blr,rd->bld", buffer, lora_b,
+                       preferred_element_type=jnp.float32,
+                        precision="highest")
+    if spec.post_scales is not None:
+        post = jnp.asarray(spec.post_scales, dtype=delta.dtype)
+        token_scale = jnp.einsum("mbl,m->bl", modality_masks.astype(delta.dtype),
+                                 post)
+        delta = delta * token_scale[..., None]
+    return delta.astype(x.dtype)
+
+
+def lora_delta(x: Array, lora_a0: Array, lora_b: Array, scale: float) -> Array:
+    """Plain text-adapter LoRA path: ``B(A0(x) * scale)``.
+
+    This is the single-token decode fast path (reference ``lora.py:373-381``)
+    and the masks-None fallback (``layer.py:672-678``).  For the VT flavor the
+    scale goes after B (``layer.py:677``) — mathematically identical since it
+    is a scalar.
+    """
+    a = jnp.einsum("...d,dr->...r", x, lora_a0,
+                   preferred_element_type=jnp.float32,
+                        precision="highest")
+    delta = jnp.einsum("...r,rd->...d", a * jnp.float32(scale), lora_b,
+                       preferred_element_type=jnp.float32,
+                        precision="highest")
+    return delta.astype(x.dtype)
+
+
+def decode_scale(spec: MokaSpec) -> float:
+    """The total text-path scale used at single-token decode steps."""
+    post = 1.0 if spec.post_scales is None else spec.post_scales[0]
+    return spec.pre_scale * post
+
+
+def moka_linear(x: Array, w: Array, lora_a: Array, lora_b: Array,
+                modality_masks: Array | None, question_mask: Array | None,
+                spec: MokaSpec, *, bias: Array | None = None,
+                dropout_rng: Array | None = None) -> Array:
+    """Frozen base matmul + MokA delta.
+
+    ``w`` is stored (d_in, d_out).  When masks are ``None`` (decode steps),
+    only the text adapter applies (reference decode fast path).
+    """
+    y = jnp.einsum("...d,df->...f", x, w)
+    if bias is not None:
+        y = y + bias
+    if modality_masks is None:
+        y = y + lora_delta(x, lora_a[0], lora_b, decode_scale(spec))
+    else:
+        y = y + moka_delta(x, lora_a, lora_b, modality_masks, question_mask,
+                           spec, dropout_rng=dropout_rng)
+    return y

@@ -1,0 +1,193 @@
+"""Parity tests: vectorized MokA op vs a literal per-sample reimplementation.
+
+The "naive" functions below mirror the reference's Python loops statement by
+statement (AVT ``peft_hyper/tuners/lora.py:460-531``, VT
+``modified_peft/tuners/lora/layer.py:548-681``) in numpy, including the
+contiguous-span key slicing.  The vectorized op must match to float32
+tolerance.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moka_tpu.ops.moka import (MokaSpec, decode_scale, init_moka_params,
+                               lora_delta, moka_delta, moka_linear)
+
+
+def naive_avt_delta(x, A, B, masks, qmask, *, scaling, blc_weight):
+    """AVT train/prefill path, mirroring lora.py:460-531 (loops and all)."""
+    b, L, _ = x.shape
+    M, _, r = A.shape
+    only_inputs = [x * masks[i][..., None] for i in range(M)]
+    out_a = [only_inputs[i] @ A[i] * scaling for i in range(M)]
+
+    streams = [out_a[0]]
+    for mod in (1, 2):
+        tok = out_a[mod]
+        question_token = out_a[0] * qmask[..., None]
+        new = np.zeros_like(tok)
+        for i in range(b):
+            idx = np.where(qmask[i] == 1)[0]
+            key = question_token[i, idx[0]:idx[-1] + 1, :]
+            q = tok[i]
+            score = q @ key.T / math.sqrt(r)
+            score = score - score.max(-1, keepdims=True)
+            p = np.exp(score)
+            p = p / p.sum(-1, keepdims=True)
+            out = p @ key
+            attn = masks[mod][i][..., None] * out
+            new[i] = tok[i] + attn * blc_weight
+        streams.append(new)
+    input_b = sum(streams)
+    return input_b @ B
+
+
+def naive_vt_delta(x, A, B, text_mask, image_mask, qmask, *, scaling,
+                   attn_weight):
+    """VT path, mirroring layer.py:548-681 (gather/scatter and all)."""
+    b, L, d = x.shape
+    r = A.shape[-1]
+    x_flat = x.reshape(-1, d)
+    tm = text_mask.reshape(-1)
+    im = image_mask.reshape(-1)
+    buf = np.zeros((b * L, r), dtype=x.dtype)
+    idx_t = np.nonzero(tm == 1)[0]
+    buf[idx_t] = x_flat[idx_t] @ A[0]
+    idx_i = np.nonzero(im == 1)[0]
+    buf[idx_i] = x_flat[idx_i] @ A[1]
+    buf = buf.reshape(b, L, r)
+    for i in range(b):
+        ii = np.where(image_mask[i] == 1)[0]
+        if len(ii) == 0:
+            continue
+        qi = np.where(qmask[i] == 1)[0]
+        if len(qi) == 0:
+            continue
+        q = buf[i, ii, :]
+        k = buf[i, qi, :]
+        score = q @ k.T / math.sqrt(r)
+        score = score - score.max(-1, keepdims=True)
+        p = np.exp(score)
+        p = p / p.sum(-1, keepdims=True)
+        buf[i, ii, :] = buf[i, ii, :] + attn_weight * (p @ k)
+    flat = buf.reshape(-1, r)
+    out = np.zeros((b * L, B.shape[-1]), dtype=x.dtype)
+    out[idx_t] = flat[idx_t] @ B * scaling
+    out[idx_i] = flat[idx_i] @ B * scaling
+    return out.reshape(b, L, -1)
+
+
+def _make_masks(rng, b, L, n_mod, q_span=(2, 6)):
+    """Disjoint modality masks + a contiguous question span inside text."""
+    masks = np.zeros((n_mod, b, L), dtype=np.float32)
+    qmask = np.zeros((b, L), dtype=np.float32)
+    for i in range(b):
+        # layout: [text(question inside) | mod1 | mod2 | ... | pad]
+        cut = rng.integers(L // 2, L - n_mod * 2)
+        masks[0, i, :cut] = 1.0
+        start = rng.integers(0, cut - 3)
+        end = rng.integers(start + 1, cut)
+        qmask[i, start:end + 1] = 1.0
+        pos = cut
+        for m in range(1, n_mod):
+            width = rng.integers(1, (L - cut) // n_mod)
+            masks[m, i, pos:pos + width] = 1.0
+            pos += width
+        # remaining rows are padding: in no mask
+    return masks, qmask
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_avt_parity(seed):
+    rng = np.random.default_rng(seed)
+    b, L, d_in, d_out, r = 3, 24, 16, 12, 4
+    spec = MokaSpec.avt(rank=r, lora_alpha=16.0, blc_weight=0.7,
+                        dropout_rate=0.0)
+    x = rng.standard_normal((b, L, d_in)).astype(np.float32)
+    A = rng.standard_normal((3, d_in, r)).astype(np.float32) * 0.1
+    B = rng.standard_normal((r, d_out)).astype(np.float32) * 0.1
+    masks, qmask = _make_masks(rng, b, L, 3)
+
+    want = naive_avt_delta(x, A, B, masks, qmask, scaling=16.0 / r,
+                           blc_weight=0.7)
+    got = moka_delta(jnp.asarray(x), jnp.asarray(A), jnp.asarray(B),
+                     jnp.asarray(masks), jnp.asarray(qmask), spec)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_vt_parity(seed):
+    rng = np.random.default_rng(seed)
+    b, L, d_in, d_out, r = 2, 20, 16, 12, 4
+    spec = MokaSpec.vt(rank=r, lora_alpha=16.0, attn_weight=0.05,
+                       dropout_rate=0.0)
+    x = rng.standard_normal((b, L, d_in)).astype(np.float32)
+    A = rng.standard_normal((2, d_in, r)).astype(np.float32) * 0.1
+    B = rng.standard_normal((r, d_out)).astype(np.float32) * 0.1
+    masks, qmask = _make_masks(rng, b, L, 2)
+
+    want = naive_vt_delta(x, A, B, masks[0], masks[1], qmask,
+                          scaling=16.0 / r, attn_weight=0.05)
+    got = moka_delta(jnp.asarray(x), jnp.asarray(A), jnp.asarray(B),
+                     jnp.asarray(masks), jnp.asarray(qmask), spec)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
+
+
+def test_no_question_tokens_is_finite():
+    """A sample with an empty question span must not NaN (VT skips it)."""
+    spec = MokaSpec.vt(rank=4, dropout_rate=0.0)
+    b, L, d = 2, 8, 6
+    x = jnp.ones((b, L, d))
+    A = jnp.ones((2, d, 4)) * 0.1
+    B = jnp.ones((4, d)) * 0.1
+    masks = jnp.zeros((2, b, L)).at[0, :, :4].set(1.0).at[1, :, 4:].set(1.0)
+    qmask = jnp.zeros((b, L)).at[0, 1:3].set(1.0)  # sample 1: no question
+    out = moka_delta(x, A, B, masks, qmask, spec)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # sample 1 image rows must equal the no-attention path
+    no_attn = (x[1:] * masks[1, 1:, :, None]) @ A[1] @ B * (16.0 / 4)
+    np.testing.assert_allclose(np.asarray(out[1, 4:]),
+                               np.asarray(no_attn[0, 4:]), rtol=1e-5)
+
+
+def test_decode_path_matches_text_adapter():
+    spec = MokaSpec.avt(rank=4, lora_alpha=16.0, dropout_rate=0.0)
+    rng = np.random.default_rng(0)
+    d_in, d_out = 16, 12
+    x = jnp.asarray(rng.standard_normal((2, 1, d_in)).astype(np.float32))
+    p = init_moka_params(jax.random.key(0), d_in, d_out, spec)
+    w = jnp.asarray(rng.standard_normal((d_in, d_out)).astype(np.float32))
+    # zero-init B => adapter contributes nothing at step 0
+    y = moka_linear(x, w, p["a"], p["b"], None, None, spec)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w), rtol=1e-6)
+    # nonzero B: decode delta == B(A0(x)*scale)
+    b_mat = jnp.asarray(rng.standard_normal((4, d_out)).astype(np.float32))
+    y2 = moka_linear(x, w, p["a"], b_mat, None, None, spec)
+    want = x @ w + (x @ p["a"][0] * decode_scale(spec)) @ b_mat
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_grads_flow_only_through_adapters():
+    """Frozen base: grads wrt adapters exist; base weight is not an argument
+    of the differentiated function (architectural guarantee)."""
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
+    rng = np.random.default_rng(0)
+    b, L, d = 2, 16, 8
+    x = jnp.asarray(rng.standard_normal((b, L, d)).astype(np.float32))
+    masks, qmask = _make_masks(rng, b, L, 3)
+    masks, qmask = jnp.asarray(masks), jnp.asarray(qmask)
+    A = jnp.asarray(rng.standard_normal((3, d, 4)).astype(np.float32) * 0.1)
+    B = jnp.asarray(rng.standard_normal((4, d)).astype(np.float32) * 0.1)
+
+    def loss(p):
+        return jnp.sum(moka_delta(x, p["a"], p["b"], masks, qmask, spec) ** 2)
+
+    g = jax.grad(loss)({"a": A, "b": B})
+    assert np.isfinite(np.asarray(g["a"])).all()
+    assert float(jnp.abs(g["a"]).sum()) > 0
+    assert float(jnp.abs(g["b"]).sum()) > 0
