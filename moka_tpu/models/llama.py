@@ -1,0 +1,277 @@
+"""LLaMA-2 decoder with MokA adapter slots — pure-functional, scan-over-layers.
+
+Replaces the reference's two transformers forks
+(``AudioVisualText/models/modeling_llama.py``,
+``VisualText/modified_models/modeling_llama.py``): every one of the seven
+projections (q/k/v/o/gate/up/down) goes through an adapter hook carrying the
+token-level modality masks (reference ``modeling_llama.py:326-328,384,222-226``).
+
+TPU-first design:
+  * layer parameters are stacked along a leading ``n_layers`` axis and the
+    decoder is a single ``lax.scan`` — one compiled layer body regardless of
+    depth, fast compiles, and ``jax.checkpoint`` per scan step gives the
+    reference's gradient-checkpointing (``modeling_llama.py:719-733``) for
+    free, masks included;
+  * the frozen base lives in bf16 and is *closed over* (not differentiated):
+    only adapter/projector grads exist, which is the whole ZeRO story here;
+  * KV cache is a pytree carried functionally; prefill writes [0, L), decode
+    steps write one slot — no GenerationMixin fork needed (the reference
+    forked 14k LoC of HF internals for this, ``models/my_utils.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.ops.attention import causal_bias, mha
+from moka_tpu.ops.moka import MokaSpec, lora_delta, moka_delta, decode_scale
+from moka_tpu.ops.rope import apply_rope, rope_cos_sin
+
+Array = jax.Array
+
+PROJ_DIMS = {  # name -> (d_in_attr, d_out_attr) resolved in init
+    "q": ("dim", "q_out"), "k": ("dim", "kv_out"), "v": ("dim", "kv_out"),
+    "o": ("q_out", "dim"), "gate": ("dim", "intermediate"),
+    "up": ("dim", "intermediate"), "down": ("intermediate", "dim"),
+}
+
+
+_PROJ_INDEX = {name: i for i, name in enumerate(PROJ_DIMS)}
+
+
+def _proj_shapes(cfg: LlamaConfig) -> dict[str, tuple[int, int]]:
+    dims = {"dim": cfg.dim, "q_out": cfg.n_heads * cfg.head_dim,
+            "kv_out": cfg.n_kv_heads * cfg.head_dim,
+            "intermediate": cfg.intermediate}
+    return {k: (dims[a], dims[b]) for k, (a, b) in PROJ_DIMS.items()}
+
+
+def init_llama_params(rng: Array, cfg: LlamaConfig,
+                      dtype=jnp.bfloat16) -> dict:
+    """Random init (normal 0.02, HF-style); real weights come from the
+    checkpoint importer."""
+    shapes = _proj_shapes(cfg)
+    n = cfg.n_layers
+    keys = iter(jax.random.split(rng, len(shapes) + 3))
+
+    def w(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * 0.02).astype(dtype)
+
+    layers = {name: w(next(keys), (n, *shapes[name])) for name in shapes}
+    layers["attn_norm"] = jnp.ones((n, cfg.dim), dtype)
+    layers["mlp_norm"] = jnp.ones((n, cfg.dim), dtype)
+    return {
+        "embed": w(next(keys), (cfg.vocab_size, cfg.dim)),
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), dtype),
+        "lm_head": w(next(keys), (cfg.dim, cfg.vocab_size)),
+    }
+
+
+def init_moka_adapters(rng: Array, cfg: LlamaConfig, spec: MokaSpec,
+                       dtype=jnp.float32,
+                       targets: tuple[str, ...] = tuple(PROJ_DIMS)) -> dict:
+    """Per-layer MokA params for each target projection, layer-stacked.
+
+    Matches the reference injection of all seven projections
+    (``finetune.py:79-80``) with kaiming-uniform A / zero B
+    (``lora.py:343-348``)."""
+    import math
+    shapes = _proj_shapes(cfg)
+    n = cfg.n_layers
+    out = {}
+    keys = jax.random.split(rng, len(targets))
+    for key, name in zip(keys, targets):
+        d_in, d_out = shapes[name]
+        bound = 1.0 / math.sqrt(d_in)
+        a = jax.random.uniform(
+            key, (n, spec.num_modalities, d_in, spec.rank), jnp.float32,
+            minval=-bound, maxval=bound).astype(dtype)
+        b = jnp.zeros((n, spec.rank, d_out), dtype)
+        out[name] = {"a": a, "b": b}
+    return {"layers": out}
+
+
+def rmsnorm(x: Array, w: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MaskBundle:
+    """Token-level modality masks for one batch (static shapes).
+
+    modality: (M, b, L) 0/1 — index 0 is text; question: (b, L) 0/1."""
+    modality: Array
+    question: Array
+
+
+def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
+                spec: MokaSpec | None, masks: MaskBundle | None,
+                dropout_rng: Array | None) -> Array:
+    y = jnp.einsum("bld,df->blf", x, base_w)
+    if adapters is None or name not in adapters:
+        return y
+    a, b = adapters[name]["a"], adapters[name]["b"]
+    if masks is None:
+        # decode steps / text-only: text-adapter fast path (lora.py:373-381)
+        return y + lora_delta(x, a[0], b, decode_scale(spec))
+    rng = None
+    if dropout_rng is not None and spec.dropout_rate > 0:
+        rng = jax.random.fold_in(dropout_rng, _PROJ_INDEX[name])
+    return y + moka_delta(x, a, b, masks.modality, masks.question, spec,
+                          dropout_rng=rng)
+
+
+def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, h: Array,
+                   layer: dict, adapters: dict | None,
+                   masks: MaskBundle | None, bias: Array,
+                   cos: Array, sin: Array,
+                   cache_k: Array | None, cache_v: Array | None,
+                   cache_index: Array | None,
+                   dropout_rng: Array | None):
+    """One decoder block. Returns (h, new_k_cache, new_v_cache)."""
+    b, L, _ = h.shape
+    hd, H, K = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+
+    proj = functools.partial(_apply_proj, adapters=adapters, spec=spec,
+                             masks=masks, dropout_rng=dropout_rng)
+
+    x = rmsnorm(h, layer["attn_norm"], cfg.rms_eps)
+    q = proj("q", x=x, base_w=layer["q"]).reshape(b, L, H, hd)
+    k = proj("k", x=x, base_w=layer["k"]).reshape(b, L, K, hd)
+    v = proj("v", x=x, base_w=layer["v"]).reshape(b, L, K, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        # write current k/v into the cache at [cache_index, cache_index+L)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0))
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    attn = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias)
+    attn = attn.reshape(b, L, H * hd)
+    h = h + proj("o", x=attn, base_w=layer["o"])
+
+    x = rmsnorm(h, layer["mlp_norm"], cfg.rms_eps)
+    gate = proj("gate", x=x, base_w=layer["gate"])
+    up = proj("up", x=x, base_w=layer["up"])
+    act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+    h = h + proj("down", x=act, base_w=layer["down"])
+    return h, cache_k, cache_v
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> dict:
+    shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
+            "length": jnp.zeros((), jnp.int32)}
+
+
+def forward(base: dict, cfg: LlamaConfig, *,
+            adapters: dict | None = None, spec: MokaSpec | None = None,
+            tokens: Array | None = None, inputs_embeds: Array | None = None,
+            masks: MaskBundle | None = None,
+            attn_mask: Array | None = None,
+            positions: Array | None = None,
+            cache: dict | None = None,
+            remat: bool = False,
+            dropout_rng: Array | None = None,
+            logits: bool = True):
+    """Full decoder forward.
+
+    attn_mask: (b, S) valid-key mask over the *attention span* (the current
+      sequence for cache-less calls; the whole cache for cached calls).
+    positions: (b, L) RoPE positions of the current tokens (defaults to
+      arange).
+    Returns (logits_or_hidden, new_cache).
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(base["embed"], tokens, axis=0)
+    h = inputs_embeds
+    b, L, _ = h.shape
+
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(L), (b, L))
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_scaling, seq_len=L,
+                            max_seq_len=cfg.max_seq_len)
+
+    if cache is not None:
+        S = cache["k"].shape[2]
+        cache_index = cache["length"]
+        if attn_mask is None:
+            raise ValueError("cached forward needs attn_mask over the cache")
+        bias = causal_bias(attn_mask, L, S, q_offset=cache_index)
+    else:
+        S = L
+        cache_index = None
+        if attn_mask is None:
+            attn_mask = jnp.ones((b, L), jnp.int32)
+        bias = causal_bias(attn_mask, L, L)
+
+    layer_fn = functools.partial(_decoder_layer, cfg, spec)
+    if remat:
+        layer_fn = jax.checkpoint(
+            layer_fn, static_argnums=(), policy=None)
+
+    if dropout_rng is not None:
+        layer_rngs = jax.random.split(dropout_rng, cfg.n_layers)
+    else:
+        layer_rngs = None
+
+    xs = {"layer": base["layers"]}
+    if adapters is not None:
+        xs["ad"] = adapters["layers"]
+    if cache is not None:
+        xs["ck"], xs["cv"] = cache["k"], cache["v"]
+    if layer_rngs is not None:
+        xs["rng"] = layer_rngs
+
+    def scan_body(h, x):
+        h, ck, cv = layer_fn(h, x["layer"], x.get("ad"), masks, bias, cos,
+                             sin, x.get("ck"), x.get("cv"), cache_index,
+                             x.get("rng"))
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(scan_body, h, xs)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = {"k": new_k, "v": new_v, "length": cache["length"] + L}
+
+    h = rmsnorm(h, base["final_norm"], cfg.rms_eps)
+    if logits:
+        out = jnp.einsum("bld,dv->blv", h, base["lm_head"],
+                         preferred_element_type=jnp.float32)
+    else:
+        out = h
+    return out, new_cache
+
+
+def cross_entropy_loss(logits: Array, labels: Array,
+                       ignore_index: int = -100) -> Array:
+    """Shift-by-one CE over supervised positions
+    (``modeling_llama.py:862-879``)."""
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    targets = labels[:, 1:]
+    valid = targets != ignore_index
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    denom = jnp.maximum(jnp.sum(valid), 1)
+    return jnp.sum(nll) / denom

@@ -1,0 +1,58 @@
+"""Rotary position embeddings with linear / dynamic-NTK scaling.
+
+Reference: ``AudioVisualText/models/modeling_llama.py:92-178`` (RotaryEmbedding,
+LinearScaling, DynamicNTKScaling) and ``apply_rotary_pos_emb``
+(``modeling_llama.py:266-291``).  Functional: no cached cos/sin buffers —
+XLA constant-folds them under jit for static positions and computes them on
+the fly otherwise (cheap VPU work).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def rope_frequencies(head_dim: int, theta: float,
+                     scaling: tuple[str, float] | None,
+                     seq_len: int | None = None,
+                     max_seq_len: int = 2048) -> Array:
+    """inv_freq (head_dim/2,) with optional NTK rescaling of theta."""
+    if scaling is not None and scaling[0] == "dynamic" and seq_len is not None \
+            and seq_len > max_seq_len:
+        # dynamic NTK: grow theta with the overflow ratio
+        # (modeling_llama.py:160-178)
+        factor = scaling[1]
+        theta = theta * ((factor * seq_len / max_seq_len) - (factor - 1)) ** (
+            head_dim / (head_dim - 2))
+    exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
+    return 1.0 / (theta ** exponent)
+
+
+def rope_cos_sin(positions: Array, head_dim: int, theta: float = 10000.0,
+                 scaling: tuple[str, float] | None = None,
+                 seq_len: int | None = None,
+                 max_seq_len: int = 2048) -> tuple[Array, Array]:
+    """cos/sin of shape positions.shape + (head_dim,), fp32."""
+    inv_freq = rope_frequencies(head_dim, theta, scaling, seq_len, max_seq_len)
+    pos = positions.astype(jnp.float32)
+    if scaling is not None and scaling[0] == "linear":
+        pos = pos / scaling[1]
+    freqs = pos[..., None] * inv_freq  # (..., head_dim/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x: Array) -> Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: (b, L, n_heads, head_dim); cos/sin: (b, L, head_dim)."""
+    cos = cos[:, :, None, :].astype(jnp.float32)
+    sin = sin[:, :, None, :].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    return (xf * cos + rotate_half(xf) * sin).astype(x.dtype)

@@ -1,0 +1,76 @@
+"""Parameter/activation sharding rules.
+
+FSDP (ZeRO-3 equivalent) + tensor parallel via one rule table instead of a
+runtime engine: frozen base weights are sharded over the ``fsdp`` axis and
+all-gathered per layer by XLA; the 7 projections additionally shard over
+``model`` (supersedes the reference's vestigial ``pretraining_tp`` branches,
+``AudioVisualText/models/modeling_llama.py:308-323``).  Adapters and
+projectors are tiny and stay replicated, so their gradient all-reduce is a
+few MB over ICI — the whole DeepSpeed ZeRO engine collapses into these
+annotations.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Rules are (path regex, spec) pairs; first match wins.  Paths look like
+# "llama/layers/q", "adapters/layers/q/a", "llama/embed", ...
+# Layer-stacked arrays have a leading n_layers axis (always unsharded).
+RULES: list[tuple[str, P]] = [
+    # --- frozen LLaMA base (layer-stacked) ---
+    (r".*layers/(q|k|v)$",        P(None, "fsdp", "model")),
+    (r".*layers/o$",              P(None, "model", "fsdp")),
+    (r".*layers/(gate|up)$",      P(None, "fsdp", "model")),
+    (r".*layers/down$",           P(None, "model", "fsdp")),
+    (r".*layers/(attn_norm|mlp_norm)$", P(None, None)),
+    (r".*/embed$",                P(None, "fsdp")),
+    (r".*/lm_head$",              P("fsdp", "model")),
+    (r".*/final_norm$",           P(None)),
+    # --- adapters: replicated (a few MB total) ---
+    (r".*adapters.*",             P()),
+    # --- encoders / projectors: replicated by default ---
+    (r".*",                       P()),
+]
+
+
+def spec_for_path(path: str, ndim: int) -> P:
+    for pat, spec in RULES:
+        if re.fullmatch(pat, path):
+            # pad/truncate spec to the array rank
+            parts = list(spec) + [None] * (ndim - len(spec))
+            return P(*parts[:ndim])
+    return P()
+
+
+def _path_str(path) -> str:
+    out = []
+    for p in path:
+        if hasattr(p, "key"):
+            out.append(str(p.key))
+        elif hasattr(p, "idx"):
+            out.append(str(p.idx))
+        else:
+            out.append(str(p))
+    return "/".join(out)
+
+
+def param_shardings(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree matching ``params`` (works on shapes or arrays)."""
+    def one(path, leaf):
+        ndim = len(getattr(leaf, "shape", ()))
+        return NamedSharding(mesh, spec_for_path(_path_str(path), ndim))
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def constrain(mesh: Mesh, x, *spec_parts):
+    """with_sharding_constraint helper for activations."""
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec_parts)))
