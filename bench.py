@@ -1,0 +1,132 @@
+"""Throughput benchmark: MokA fine-tune train-step tokens/sec/chip.
+
+Mirrors the reference's fine-tune recipe (frozen LLaMA base in bf16, MokA
+r=4x3 adapters on all 7 projections, grad checkpointing, AdamW on adapters
+only — ``ft_musicavqa.sh:24-75``) on whatever single chip is present,
+picking the largest model variant that fits.
+
+Baseline: the reference publishes no tokens/sec (SURVEY.md §6).  We estimate
+the A100 per-GPU throughput of its recipe from first principles: adapter-only
+training costs ~6*P flops/token (2P forward + 2P remat + 2P dX backward; no
+base weight grads), A100 bf16 peak 312 TFLOPs at a generous 35% MFU for the
+DeepSpeed-offload + per-sample-python-loop pipeline -> ~2,600 tok/s/GPU for
+7B.  vs_baseline = measured / (estimate scaled to the benched model size).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+A100_PEAK_FLOPS = 312e12
+A100_ASSUMED_MFU = 0.35
+
+
+def run(cfg_name, cfg, batch, seqlen):
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.train.objectives import make_llama_moka_loss
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
+    r1, r2 = jax.random.split(jax.random.key(0))
+    frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
+
+    tx = make_optimizer(TrainConfig(), total_steps=1000)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+
+    b, L = batch, seqlen
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(4, cfg.vocab_size, (b, L)), jnp.int32)
+    labels = jnp.asarray(np.where(rng.random((b, L)) < 0.25, -100,
+                                  np.asarray(toks)), jnp.int32)
+    mod = np.zeros((3, b, L), np.float32)
+    mod[0, :, : L // 2] = 1
+    mod[1, :, L // 2: 3 * L // 4] = 1
+    mod[2, :, 3 * L // 4:] = 1
+    q = np.zeros((b, L), np.float32)
+    q[:, 2: L // 8] = 1
+    batch_d = {"tokens": toks, "labels": labels,
+               "modality_masks": jnp.asarray(mod),
+               "question_mask": jnp.asarray(q)}
+
+    loss_fn = make_llama_moka_loss(cfg, spec, remat=True)
+    step = make_train_step(loss_fn, tx, donate=True)
+
+    # warmup (compile) + 2 steps
+    for _ in range(3):
+        state, m = step(state, frozen, batch_d)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, frozen, batch_d)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    tokens_per_sec = b * L / dt
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen))
+    flops_per_token = 6 * n_params
+    device = jax.devices()[0]
+    return {
+        "config": cfg_name,
+        "params": n_params,
+        "batch": b, "seqlen": L,
+        "step_time_s": dt,
+        "tokens_per_sec": tokens_per_sec,
+        "model_flops_per_sec": tokens_per_sec * flops_per_token,
+        "device": str(device),
+    }
+
+
+def main():
+    import jax
+    from moka_tpu.core.config import LlamaConfig
+
+    candidates = [
+        ("llama2_7b", LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024),
+        ("llama_3b", LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
+                                 n_heads=20, n_kv_heads=20,
+                                 intermediate=6912), 4, 1024),
+        ("llama_1b", LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
+                                 n_heads=16, n_kv_heads=16,
+                                 intermediate=5504), 8, 1024),
+    ]
+    result = None
+    for name, cfg, b, L in candidates:
+        try:
+            result = run(name, cfg, b, L)
+            break
+        except Exception as e:  # OOM etc. -> try smaller
+            print(f"# bench config {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+    if result is None:
+        print(json.dumps({"metric": "finetune_tokens_per_sec_per_chip",
+                          "value": 0.0, "unit": "tokens/s",
+                          "vs_baseline": 0.0, "error": "no config fit"}))
+        return
+
+    # A100 estimate for the same model size
+    a100_tps = (A100_PEAK_FLOPS * A100_ASSUMED_MFU) / (6 * result["params"])
+    out = {
+        "metric": "finetune_tokens_per_sec_per_chip",
+        "value": round(result["tokens_per_sec"], 2),
+        "unit": "tokens/s",
+        "vs_baseline": round(result["tokens_per_sec"] / a100_tps, 3),
+        "detail": result,
+        "baseline_estimate_tokens_per_sec_a100": round(a100_tps, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

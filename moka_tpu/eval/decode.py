@@ -1,0 +1,88 @@
+"""Batched greedy generation: multimodal prefill + text-only decode scan.
+
+This ~100-line module replaces the reference's forked HF generation stack
+(``AudioVisualText/models/my_utils.py`` 4,729 LoC + ``my_modeling_utils.py``
+5,007 LoC + ``check_utils.py``): the only reason those forks exist is to
+thread the modality-mask list through ``generate()`` into the first forward
+(``my_utils.py:1335-1341,2666-2677``).  Here the masks are prefill arguments
+and the decode step statically uses the text-adapter path
+(``lora.py:373-381``), so nothing needs forking.
+
+Prompts must be LEFT-padded (as the reference's AVT inference batches are,
+``unified_arch.py:278-317``): every sample's last prompt token then sits at
+the same static index and the whole decode loop is one ``lax.scan`` with no
+data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+
+Array = jax.Array
+
+
+def positions_from_mask(attn_mask: Array) -> Array:
+    """HF-style: cumsum(mask)-1, clipped at 0 (pad rows get position 0)."""
+    pos = jnp.cumsum(attn_mask, axis=-1) - 1
+    return jnp.maximum(pos, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
+                                             "eos_id", "pad_id"))
+def greedy_generate(base: dict, adapters: dict | None, *,
+                    cfg: LlamaConfig, spec: MokaSpec | None,
+                    inputs_embeds: Array, prompt_mask: Array,
+                    masks: llama.MaskBundle | None,
+                    max_new_tokens: int, eos_id: int, pad_id: int = 0):
+    """Greedy decode (the eval drivers all use greedy generate —
+    ``mmbench.py:641``, ``inference_cut.py:66``).
+
+    Args:
+      inputs_embeds: (b, L, d) left-padded prompt embeddings (multimodal
+        features already spliced in).
+      prompt_mask: (b, L) 0/1 valid-prompt-token mask.
+      masks: modality masks over the prompt (or None for text-only).
+      Returns (b, max_new_tokens) int32 tokens, pad_id after eos.
+    """
+    b, L, _ = inputs_embeds.shape
+    S = L + max_new_tokens
+
+    cache = llama.init_kv_cache(cfg, b, S, dtype=inputs_embeds.dtype)
+    cache_mask = jnp.pad(prompt_mask, ((0, 0), (0, max_new_tokens)))
+    pos = positions_from_mask(prompt_mask)
+
+    logits, cache = llama.forward(
+        base, cfg, adapters=adapters, spec=spec,
+        inputs_embeds=inputs_embeds, masks=masks,
+        attn_mask=cache_mask, positions=pos, cache=cache)
+    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    n_prompt = jnp.sum(prompt_mask, axis=-1)  # (b,) real prompt lengths
+
+    def step(carry, t):
+        tok, cache, cache_mask, done = carry
+        cache_mask = cache_mask.at[:, L + t].set(1)
+        step_pos = (n_prompt + t)[:, None]
+        embeds = jnp.take(base["embed"], tok[:, None], axis=0)
+        logits, cache = llama.forward(
+            base, cfg, adapters=adapters, spec=spec,
+            inputs_embeds=embeds, masks=None,
+            attn_mask=cache_mask, positions=step_pos, cache=cache)
+        new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        out = jnp.where(done, pad_id, tok)
+        done = done | (tok == eos_id)
+        new_tok = jnp.where(done, eos_id, new_tok)
+        return (new_tok, cache, cache_mask, done), out
+
+    done0 = jnp.zeros((b,), bool)
+    (_, _, _, _), toks = jax.lax.scan(
+        step, (next_tok, cache, cache_mask, done0),
+        jnp.arange(max_new_tokens))
+    return toks.T  # (b, max_new_tokens)

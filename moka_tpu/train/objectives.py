@@ -1,0 +1,40 @@
+"""Loss functions binding models to the generic train step."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+
+
+def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
+                         remat: bool = True):
+    """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
+
+    Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
+    ``labels`` (b, L) with -100 ignore; optional ``modality_masks`` (M, b, L),
+    ``question_mask`` (b, L), ``attn_mask`` (b, L), ``positions`` (b, L).
+    """
+
+    def loss_fn(trainable, frozen, batch, rng):
+        masks = None
+        if "modality_masks" in batch:
+            masks = llama.MaskBundle(batch["modality_masks"],
+                                     batch["question_mask"])
+        logits, _ = llama.forward(
+            frozen, cfg, adapters=trainable["adapters"], spec=spec,
+            tokens=batch.get("tokens"),
+            inputs_embeds=batch.get("inputs_embeds"),
+            masks=masks, attn_mask=batch.get("attn_mask"),
+            positions=batch.get("positions"), remat=remat,
+            dropout_rng=rng if spec.dropout_rate > 0 else None)
+        loss = llama.cross_entropy_loss(logits, batch["labels"])
+        ntok = jnp.sum(batch["labels"] != -100)
+        return loss, {"supervised_tokens": ntok}
+
+    return loss_fn
