@@ -92,7 +92,7 @@ def main():
     from moka_tpu.core.config import LlamaConfig
 
     candidates = [
-        ("llama2_7b", LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024),
+        ("llama2_7b", LlamaConfig.llama2_7b(vocab_size=32011), 1, 1024),
         ("llama_3b", LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
                                  intermediate=6912), 4, 1024),
@@ -106,8 +106,17 @@ def main():
             result = run(name, cfg, b, L)
             break
         except Exception as e:  # OOM etc. -> try smaller
-            print(f"# bench config {name} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            print(f"# bench config {name} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            # drop everything the failed attempt pinned (exception tracebacks
+            # keep frames alive -> device buffers leak into the next attempt)
+            sys.last_traceback = None
+            e.__traceback__ = None
+            import gc
+            import jax
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
             continue
     if result is None:
         print(json.dumps({"metric": "finetune_tokens_per_sec_per_chip",
