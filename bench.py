@@ -87,37 +87,43 @@ def run(cfg_name, cfg, batch, seqlen):
     }
 
 
-def main():
-    import jax
+def _candidates():
     from moka_tpu.core.config import LlamaConfig
-
-    candidates = [
-        ("llama2_7b", LlamaConfig.llama2_7b(vocab_size=32011), 1, 1024),
-        ("llama_3b", LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
+    return {
+        "llama2_7b": (LlamaConfig.llama2_7b(vocab_size=32011), 1, 1024),
+        "llama_3b": (LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
                                  intermediate=6912), 4, 1024),
-        ("llama_1b", LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
+        "llama_1b": (LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
                                  n_heads=16, n_kv_heads=16,
                                  intermediate=5504), 8, 1024),
-    ]
+    }
+
+
+def run_one(name: str) -> None:
+    cfg, b, L = _candidates()[name]
+    print(json.dumps(run(name, cfg, b, L)))
+
+
+def main():
+    # Each candidate runs in a fresh subprocess: a failed (OOM) attempt must
+    # not leak device buffers into the next one.
+    import subprocess
+
     result = None
-    for name, cfg, b, L in candidates:
-        try:
-            result = run(name, cfg, b, L)
-            break
-        except Exception as e:  # OOM etc. -> try smaller
-            print(f"# bench config {name} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-            # drop everything the failed attempt pinned (exception tracebacks
-            # keep frames alive -> device buffers leak into the next attempt)
-            sys.last_traceback = None
-            e.__traceback__ = None
-            import gc
-            import jax
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
-            continue
+    for name in _candidates():
+        proc = subprocess.run(
+            [sys.executable, __file__, "--run-one", name],
+            capture_output=True, text=True, timeout=1200)
+        if proc.returncode == 0 and proc.stdout.strip():
+            try:
+                result = json.loads(proc.stdout.strip().splitlines()[-1])
+                break
+            except json.JSONDecodeError:
+                pass
+        print(f"# bench config {name} failed: "
+              f"{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr else '?'}",
+              file=sys.stderr)
     if result is None:
         print(json.dumps({"metric": "finetune_tokens_per_sec_per_chip",
                           "value": 0.0, "unit": "tokens/s",
@@ -138,4 +144,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--run-one":
+        run_one(sys.argv[2])
+    else:
+        main()

@@ -78,7 +78,7 @@ def init_beats_params(rng: Array, cfg: BeatsConfig, dtype=jnp.float32) -> dict:
     e, h, f, p = cfg.embed_dim, cfg.encoder_embed_dim, cfg.encoder_ffn_dim, \
         cfg.input_patch_size
     n, hd = cfg.encoder_layers, cfg.head_dim
-    ks = list(jax.random.split(rng, 8))
+    ks = list(jax.random.split(rng, 16))
 
     def lin(k, a, b, std=0.02):
         return {"w": (jax.random.normal(k, (a, b)) * std).astype(dtype),

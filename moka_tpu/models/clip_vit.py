@@ -49,7 +49,7 @@ def init_clip_params(rng: Array, cfg: ClipVitConfig,
                      dtype=jnp.float32) -> dict:
     h, i, n = cfg.hidden, cfg.intermediate, cfg.n_layers
     p = cfg.patch_size
-    ks = list(jax.random.split(rng, 8))
+    ks = list(jax.random.split(rng, 16))
 
     def lin(k, a, b):
         return {"w": (jax.random.normal(k, (a, b)) * 0.02).astype(dtype),

@@ -1,0 +1,173 @@
+"""UnifiedForCausalLM equivalent: the tri-modal AVT flagship model.
+
+Ties together CLIP tower + VL projector, BEATs + AL projector, the
+multimodal assembler, and the MokA-adapted LLaMA decoder.  Replaces
+``AudioVisualText/models/unified_llama.py`` + ``unified_arch.py`` +
+``unified_llama_post_pretrian.py`` (stage-1 twin = ``adapters=None``).
+
+Parameter split (the whole ZeRO/freezing story):
+  frozen    = {llama, clip, beats}           — bf16, fsdp-sharded, no grads
+  trainable = {adapters, vl_projector, al_projector} — fp32, replicated
+Stage 1 trains only the projectors (reference ``pretrain.py:71-109``);
+stage 2 trains projectors + adapters (``finetune.py:151-160``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.data.assembler import splice_features
+from moka_tpu.models import llama
+from moka_tpu.models.beats import BeatsConfig, encode_audio_segments
+from moka_tpu.models.clip_vit import ClipVitConfig, encode_video
+from moka_tpu.models.projectors import (ProjectorConfig, init_projector_params,
+                                        project_audio, project_visual)
+from moka_tpu.ops.moka import MokaSpec
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class UnifiedConfig:
+    llama: LlamaConfig
+    clip: ClipVitConfig
+    beats: BeatsConfig
+    vl_projector: ProjectorConfig
+    al_projector: ProjectorConfig
+    spec: MokaSpec | None
+    # CLIP hidden-state selection; only the LAST one's Q-Former output is
+    # spliced (unified_arch.py:196-197; actual value [14, 23],
+    # configs/unified_config.py:14)
+    select_layers: tuple[int, ...] = (14, 23)
+
+    @staticmethod
+    def avt_7b(vocab_size: int = 32011, spec: MokaSpec | None = None
+               ) -> "UnifiedConfig":
+        return UnifiedConfig(
+            llama=LlamaConfig.llama2_7b(vocab_size=vocab_size),
+            clip=ClipVitConfig.vit_l_14(),
+            beats=BeatsConfig(),
+            vl_projector=ProjectorConfig.visual(d_model=4096),
+            al_projector=ProjectorConfig.audio(d_model=4096),
+            spec=spec if spec is not None else MokaSpec.avt(rank=4),
+        )
+
+    @staticmethod
+    def tiny(spec: MokaSpec | None = None) -> "UnifiedConfig":
+        lcfg = LlamaConfig.tiny(vocab_size=256)
+        return UnifiedConfig(
+            llama=lcfg,
+            clip=ClipVitConfig.tiny(),
+            beats=BeatsConfig.tiny(),
+            vl_projector=ProjectorConfig(
+                input_width=32, num_query_tokens=4, qformer_hidden=48,
+                d_model=lcfg.dim, tokens_per_group=4),
+            al_projector=ProjectorConfig(
+                input_width=48, num_query_tokens=4, qformer_hidden=48,
+                d_model=lcfg.dim, tokens_per_group=-1),
+            spec=spec if spec is not None else
+            MokaSpec.avt(rank=4, dropout_rate=0.0),
+            select_layers=(1, 2),
+        )
+
+
+def init_frozen(rng: Array, cfg: UnifiedConfig, dtype=jnp.bfloat16) -> dict:
+    from moka_tpu.models.beats import init_beats_params
+    from moka_tpu.models.clip_vit import init_clip_params
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "llama": llama.init_llama_params(k1, cfg.llama, dtype=dtype),
+        "clip": init_clip_params(k2, cfg.clip, dtype=dtype),
+        "beats": init_beats_params(k3, cfg.beats, dtype=dtype),
+    }
+
+
+def init_trainable(rng: Array, cfg: UnifiedConfig,
+                   with_adapters: bool = True) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    out = {
+        "vl_projector": init_projector_params(k1, cfg.vl_projector),
+        "al_projector": init_projector_params(k2, cfg.al_projector),
+    }
+    if with_adapters and cfg.spec is not None:
+        out["adapters"] = llama.init_moka_adapters(k3, cfg.llama, cfg.spec)
+    return out
+
+
+def encode_modalities(trainable: dict, frozen: dict, cfg: UnifiedConfig,
+                      video: Array | None, audio: Array | None
+                      ) -> tuple[Array | None, Array | None]:
+    """video (b, t, 3, H, W) -> (b, t*32, d); audio (b, t, T, 128) fbank ->
+    (b, t*32, d).  Encoders run frozen (stop_gradient); projectors train."""
+    video_tokens = audio_tokens = None
+    if video is not None:
+        feats = encode_video(frozen["clip"], cfg.clip,
+                             video.astype(frozen["clip"]["patch"].dtype),
+                             cfg.select_layers)
+        last = jax.lax.stop_gradient(feats[-1].astype(jnp.float32))
+        video_tokens = project_visual(trainable["vl_projector"],
+                                      cfg.vl_projector, last)
+    if audio is not None:
+        feats = encode_audio_segments(
+            frozen["beats"], cfg.beats,
+            audio.astype(frozen["beats"]["patch"].dtype))
+        feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
+        audio_tokens = project_audio(trainable["al_projector"],
+                                     cfg.al_projector, feats)
+    return video_tokens, audio_tokens
+
+
+def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
+                        batch: dict) -> Array:
+    """Token embeds + feature splice (device-side half of the assembler)."""
+    embeds = jnp.take(frozen["llama"]["embed"], batch["ids"], axis=0)
+    video_tokens, audio_tokens = encode_modalities(
+        trainable, frozen, cfg, batch.get("video"), batch.get("audio"))
+    return splice_features(embeds,
+                           video_features=video_tokens,
+                           video_pos=batch.get("video_pos"),
+                           audio_features=audio_tokens,
+                           audio_pos=batch.get("audio_pos"))
+
+
+def unified_loss(cfg: UnifiedConfig, remat: bool = True,
+                 train_adapters: bool = True):
+    """Loss closure for the generic train step.  ``train_adapters=False`` =
+    stage-1 pretraining (plain-linear twin: no adapter deltas at all,
+    ``modeling_llama_post_pretrian.py``)."""
+
+    def loss_fn(trainable, frozen, batch, rng):
+        embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
+        masks = llama.MaskBundle(batch["modality_masks"],
+                                 batch["question_mask"])
+        adapters = trainable.get("adapters") if train_adapters else None
+        spec = cfg.spec if adapters is not None else None
+        logits, _ = llama.forward(
+            frozen["llama"], cfg.llama, adapters=adapters, spec=spec,
+            inputs_embeds=embeds, masks=masks if adapters is not None else None,
+            attn_mask=batch["attn_mask"], positions=batch["positions"],
+            remat=remat,
+            dropout_rng=rng if (spec and spec.dropout_rate > 0) else None)
+        loss = llama.cross_entropy_loss(logits, batch["labels"])
+        return loss, {"supervised_tokens":
+                      jnp.sum(batch["labels"] != -100)}
+
+    return loss_fn
+
+
+def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
+             max_new_tokens: int, eos_id: int, pad_id: int = 0) -> Array:
+    """Multimodal greedy generation (replaces UnifiedForCausalLM.generate +
+    the forked GenerationMixin)."""
+    from moka_tpu.eval.decode import greedy_generate
+    embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
+    masks = llama.MaskBundle(batch["modality_masks"], batch["question_mask"])
+    return greedy_generate(
+        frozen["llama"], trainable.get("adapters"), cfg=cfg.llama,
+        spec=cfg.spec, inputs_embeds=embeds,
+        prompt_mask=batch["attn_mask"], masks=masks,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id)
