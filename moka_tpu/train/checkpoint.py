@@ -1,0 +1,187 @@
+"""Checkpointing: orbax for native save/resume + torch-format export for
+reference interop.
+
+Replaces the reference's three artifact families (SURVEY.md §5):
+  (a) periodic adapter-only ``finetune_weights.bin``
+      (``AudioVisualText/trainer.py:183-218``)  -> orbax step dirs holding
+      the trainable pytree + optimizer state (resume included, which the
+      reference's adapter-only periodic saves actually lose);
+  (b) final split ``adapter_model.bin`` + ``non_lora_trainables.bin``
+      (``finetune.py:195-201``)                 -> ``export_torch_artifacts``;
+  (c) auto-resume from last checkpoint (``finetune.py:187-190``)
+                                               -> ``latest_step``/``restore``.
+
+No ZeRO-gathering machinery needed: the trainable tree is replicated, so a
+rank-0 save is the whole story (``jax.process_index() == 0``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from moka_tpu.train.step import TrainState
+
+
+def _mgr(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save(directory: str, state: TrainState, max_to_keep: int = 3) -> None:
+    mgr = _mgr(directory, max_to_keep)
+    mgr.save(int(state.step),
+             args=ocp.args.StandardSave({
+                 "step": np.asarray(state.step),
+                 "params": jax.tree.map(np.asarray, state.params),
+                 "opt_state": jax.tree.map(np.asarray, state.opt_state),
+                 "rng": np.asarray(jax.random.key_data(state.rng)),
+             }))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> int | None:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _mgr(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore(directory: str, template: TrainState,
+            step: int | None = None) -> TrainState:
+    """Restore into the structure of ``template`` (shapes/dtypes/sharding)."""
+    mgr = _mgr(directory)
+    step = step if step is not None else mgr.latest_step()
+    tpl = {
+        "step": np.asarray(template.step),
+        "params": jax.tree.map(np.asarray, template.params),
+        "opt_state": jax.tree.map(np.asarray, template.opt_state),
+        "rng": np.asarray(jax.random.key_data(template.rng)),
+    }
+    out = mgr.restore(step, args=ocp.args.StandardRestore(tpl))
+    mgr.close()
+    import jax.numpy as jnp
+    return TrainState(step=jnp.asarray(out["step"]),
+                      params=out["params"], opt_state=out["opt_state"],
+                      rng=jax.random.wrap_key_data(jnp.asarray(out["rng"])))
+
+
+# ------------------------------------------------------- torch export ----
+
+def adapters_to_torch_state_dict(adapters: dict,
+                                 prefix: str = "base_model.model.model."
+                                 ) -> dict:
+    """Layer-stacked adapter pytree -> peft_hyper-style names
+    (``...layers.N.self_attn.q_proj.lora_A0.weight``), inverse of
+    ``import_torch.import_moka_adapters_avt``."""
+    group = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+             "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+             "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+             "down": "mlp.down_proj"}
+    sd = {}
+    for name, p in adapters["layers"].items():
+        a = np.asarray(p["a"], np.float32)  # (N, M, d_in, r)
+        b = np.asarray(p["b"], np.float32)  # (N, r, d_out)
+        n_layers, n_mod = a.shape[:2]
+        for layer in range(n_layers):
+            base = f"{prefix}layers.{layer}.{group[name]}"
+            for m in range(n_mod):
+                sd[f"{base}.lora_A{m}.weight"] = a[layer, m].T.copy()
+            sd[f"{base}.lora_B0.weight"] = b[layer].T.copy()
+    return sd
+
+
+def export_torch_artifacts(out_dir: str, trainable: dict) -> None:
+    """Final split save matching ``finetune.py:195-201``:
+    ``adapter_model.bin`` (lora params) + ``non_lora_trainables.bin``
+    (projector params, reference module naming)."""
+    import torch
+    os.makedirs(out_dir, exist_ok=True)
+    if "adapters" in trainable:
+        sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in
+              adapters_to_torch_state_dict(trainable["adapters"]).items()}
+        torch.save(sd, os.path.join(out_dir, "adapter_model.bin"))
+    non_lora = {}
+    for proj_key, ref_prefix, kind in (
+            ("vl_projector", "vl_projector.", "visual"),
+            ("al_projector", "al_projector.", "audio"),
+            ("projector", "multi_modal_projector.", "visual")):
+        if proj_key in trainable:
+            non_lora.update(projector_to_torch_state_dict(
+                trainable[proj_key], kind=kind, prefix=ref_prefix))
+    if non_lora:
+        import torch
+        non_lora = {k: torch.from_numpy(np.ascontiguousarray(v))
+                    for k, v in non_lora.items()}
+        torch.save(non_lora, os.path.join(out_dir,
+                                          "non_lora_trainables.bin"))
+
+
+def projector_to_torch_state_dict(proj: dict, kind: str = "visual",
+                                  prefix: str = "") -> dict:
+    """Inverse of ``import_torch.import_projector`` (reference attribute
+    naming: ``visual_ln/visual_Qformer/visual_query_tokens/visual_proj``)."""
+    k = kind
+    sd = {}
+
+    def lin(p, name):
+        sd[f"{prefix}{name}.weight"] = np.asarray(p["w"], np.float32).T.copy()
+        sd[f"{prefix}{name}.bias"] = np.asarray(p["b"], np.float32)
+
+    def lnp(p, name):
+        sd[f"{prefix}{name}.weight"] = np.asarray(p["g"], np.float32)
+        sd[f"{prefix}{name}.bias"] = np.asarray(p["b"], np.float32)
+
+    lnp(proj["input_ln"], f"{k}_ln")
+    sd[f"{prefix}{k}_query_tokens"] = np.asarray(
+        proj["qformer"]["query_tokens"], np.float32)[None]
+    lin(proj["mlp"]["fc1"], f"{k}_proj.0")
+    lin(proj["mlp"]["fc2"], f"{k}_proj.2")
+
+    q = proj["qformer"]
+    qp = f"{k}_Qformer.bert."
+    sd[f"{prefix}{qp}embeddings.word_embeddings.weight"] = np.asarray(
+        q["word_embed"], np.float32)
+    sd[f"{prefix}{qp}embeddings.position_embeddings.weight"] = np.asarray(
+        q["pos_embed"], np.float32)
+    sd[f"{prefix}{qp}embeddings.LayerNorm.weight"] = np.asarray(
+        q["embed_ln"]["g"], np.float32)
+    sd[f"{prefix}{qp}embeddings.LayerNorm.bias"] = np.asarray(
+        q["embed_ln"]["b"], np.float32)
+    name_map = {
+        "attn_q": "attention.self.query", "attn_k": "attention.self.key",
+        "attn_v": "attention.self.value",
+        "attn_out": "attention.output.dense",
+        "attn_ln": "attention.output.LayerNorm",
+        "cross_q": "crossattention.self.query",
+        "cross_k": "crossattention.self.key",
+        "cross_v": "crossattention.self.value",
+        "cross_out": "crossattention.output.dense",
+        "cross_ln": "crossattention.output.LayerNorm",
+        "ffn_q_in": "intermediate_query.dense",
+        "ffn_q_out": "output_query.dense",
+        "ffn_q_ln": "output_query.LayerNorm",
+        "ffn_t_in": "intermediate.dense", "ffn_t_out": "output.dense",
+        "ffn_t_ln": "output.LayerNorm",
+    }
+    n_layers = np.asarray(q["layers"]["attn_q"]["w"]).shape[0]
+    for i in range(n_layers):
+        for ours, theirs in name_map.items():
+            p = q["layers"][ours]
+            full = f"{prefix}{qp}encoder.layer.{i}.{theirs}"
+            if "ln" in ours.split("_")[-1]:
+                sd[f"{full}.weight"] = np.asarray(p["g"][i], np.float32)
+                sd[f"{full}.bias"] = np.asarray(p["b"][i], np.float32)
+            else:
+                sd[f"{full}.weight"] = np.asarray(p["w"][i],
+                                                  np.float32).T.copy()
+                sd[f"{full}.bias"] = np.asarray(p["b"][i], np.float32)
+    return sd
