@@ -1,0 +1,133 @@
+"""Stage-2 fine-tune driver (MUSIC-AVQA / AVE).
+
+Replaces ``AudioVisualText/scripts/finetune/finetune.py`` + the
+``ft_musicavqa.sh`` env zoo: one flag namespace, mesh from flags, no
+DeepSpeed JSON.  Recipe defaults mirror the reference
+(``ft_musicavqa.sh:24-75``): r=4x3 adapters alpha 16 dropout 0.05
+blc_weight 1 on all 7 projections, lr 1e-4 cosine, bf16 frozen base, grad
+checkpointing, global batch 32, 3 epochs."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("moka-finetune")
+    p.add_argument("--llama-ckpt", help="HF LLaMA dir/safetensors")
+    p.add_argument("--clip-ckpt", help="HF CLIP vision dir/safetensors")
+    p.add_argument("--beats-ckpt", help="BEATs .pt")
+    p.add_argument("--tokenizer-json", help="tokenizers-lib tokenizer.json")
+    p.add_argument("--vl-pretrain", help="visual projector stage-1 ckpt")
+    p.add_argument("--al-pretrain", help="audio projector stage-1 ckpt")
+    p.add_argument("--avqa-annotation")
+    p.add_argument("--ave-annotation")
+    p.add_argument("--ave-data-root")
+    p.add_argument("--output-dir", default="runs/finetune")
+    p.add_argument("--lora-r", type=int, default=4)
+    p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--lora-dropout", type=float, default=0.05)
+    p.add_argument("--blc-weight", type=float, default=1.0)
+    p.add_argument("--learning-rate", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--global-batch", type=int, default=32)
+    p.add_argument("--pad-to", type=int, default=1024)
+    p.add_argument("--save-steps", type=int, default=0)
+    p.add_argument("--mesh", default="fsdp",
+                   help="'fsdp' | 'data' | 'd,f,m' explicit axis sizes")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def make_mesh_from_flag(flag: str):
+    import jax
+    from moka_tpu.core.config import MeshConfig
+    from moka_tpu.parallel.mesh import make_mesh
+    n = len(jax.devices())
+    if flag == "fsdp":
+        return make_mesh(MeshConfig(1, n, 1))
+    if flag == "data":
+        return make_mesh(MeshConfig(n, 1, 1))
+    d, f, m = (int(x) for x in flag.split(","))
+    return make_mesh(MeshConfig(d, f, m))
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.data.datasets import Tokenize, UnifiedDataset
+    from moka_tpu.data.tokenizer import load_tokenizer
+    from moka_tpu.models import unified
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.parallel import sharding as shardlib
+    from moka_tpu.parallel.mesh import init_distributed
+    from moka_tpu.train import import_torch as imp
+    from moka_tpu.train.trainer import Trainer
+
+    init_distributed()
+    mesh = make_mesh_from_flag(args.mesh)
+
+    spec = MokaSpec.avt(rank=args.lora_r, lora_alpha=args.lora_alpha,
+                        blc_weight=args.blc_weight,
+                        dropout_rate=args.lora_dropout)
+    tok = load_tokenizer(args.tokenizer_json)
+    cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size, spec=spec)
+
+    # frozen towers from reference checkpoints
+    frozen = {
+        "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
+                                  cfg.llama),
+        "clip": imp.import_clip(imp.load_torch(args.clip_ckpt), cfg.clip,
+                                dtype=jnp.bfloat16),
+    }
+    beats_sd, beats_cfg = imp.load_torch(args.beats_ckpt)
+    frozen["beats"] = imp.import_beats(
+        beats_sd, imp.beats_config_from_ckpt(beats_cfg), dtype=jnp.bfloat16)
+    frozen = shardlib.shard_params(mesh, frozen)
+
+    trainable = unified.init_trainable(jax.random.key(args.seed), cfg)
+    for flag, key, kind in ((args.vl_pretrain, "vl_projector", "visual"),
+                            (args.al_pretrain, "al_projector", "audio")):
+        if flag:
+            sd = imp.load_torch(flag)
+            sd.pop("embed_tokens.weight", None)  # finetune.py:138-148
+            trainable[key] = imp.import_projector(
+                sd, getattr(cfg, key), kind=kind)
+
+    ds = UnifiedDataset(tok.as_tokenize(), mode="train",
+                        avqa_annotation=args.avqa_annotation,
+                        ave_annotation=args.ave_annotation,
+                        ave_data_root=args.ave_data_root)
+    per_step = args.global_batch
+    steps_per_epoch = max(len(ds) // per_step, 1)
+    total_steps = steps_per_epoch * args.epochs
+
+    tcfg = TrainConfig(learning_rate=args.learning_rate,
+                       num_epochs=args.epochs,
+                       global_batch_size=args.global_batch,
+                       save_every_steps=args.save_steps,
+                       output_dir=args.output_dir, seed=args.seed)
+    trainer = Trainer(unified.unified_loss(cfg, remat=True), trainable,
+                      frozen, tcfg, total_steps, full_config=tcfg)
+
+    def batches():
+        rng = np.random.default_rng(args.seed)
+        for _ in range(args.epochs):
+            order = rng.permutation(len(ds))
+            for i in range(0, len(order) - per_step + 1, per_step):
+                items = [ds[int(j)] for j in order[i:i + per_step]]
+                yield {k: jnp.asarray(v) for k, v in
+                       ds.collate(items, pad_to=args.pad_to).items()
+                       if not isinstance(v, list)}
+
+    trainer.train(batches())
+    trainer.finalize()
+
+
+if __name__ == "__main__":
+    main()

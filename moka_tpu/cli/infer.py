@@ -1,0 +1,102 @@
+"""Batched distributed inference driver (AVQA / AVE).
+
+Replaces ``AudioVisualText/scripts/finetune/inference_cut.py``: rebuild the
+model with the fine-tuned artifacts (orbax run dir or the torch
+``adapter_model.bin`` + ``non_lora_trainables.bin``), strided host sharding,
+greedy generate(max_new_tokens=500), per-rank JSONL."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("moka-infer")
+    p.add_argument("--llama-ckpt")
+    p.add_argument("--clip-ckpt")
+    p.add_argument("--beats-ckpt")
+    p.add_argument("--tokenizer-json")
+    p.add_argument("--adapter-ckpt", help="adapter_model.bin")
+    p.add_argument("--non-lora-ckpt", help="non_lora_trainables.bin")
+    p.add_argument("--task", choices=["avqa", "ave"], default="avqa")
+    p.add_argument("--annotation")
+    p.add_argument("--data-root")
+    p.add_argument("--output-dir", default="runs/infer")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=500)
+    p.add_argument("--pad-to", type=int, default=1024)
+    p.add_argument("--lora-r", type=int, default=4)
+    p.add_argument("--blc-weight", type=float, default=1.0)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.data.datasets import Tokenize, UnifiedDataset
+    from moka_tpu.data.tokenizer import load_tokenizer
+    from moka_tpu.eval.runner import run_inference
+    from moka_tpu.models import unified
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.train import import_torch as imp
+
+    tok = load_tokenizer(args.tokenizer_json)
+    spec = MokaSpec.avt(rank=args.lora_r, blc_weight=args.blc_weight,
+                        dropout_rate=0.0)
+    cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size, spec=spec)
+
+    frozen = {
+        "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
+                                  cfg.llama),
+        "clip": imp.import_clip(imp.load_torch(args.clip_ckpt), cfg.clip,
+                                dtype=jnp.bfloat16),
+    }
+    sd, bcfg = imp.load_torch(args.beats_ckpt)
+    frozen["beats"] = imp.import_beats(sd, imp.beats_config_from_ckpt(bcfg),
+                                       dtype=jnp.bfloat16)
+
+    trainable = unified.init_trainable(jax.random.key(0), cfg)
+    if args.adapter_ckpt:
+        trainable["adapters"] = imp.import_moka_adapters_avt(
+            imp.load_torch(args.adapter_ckpt), cfg.llama,
+            spec.num_modalities, spec.rank)
+    if args.non_lora_ckpt:
+        sd = imp.load_torch(args.non_lora_ckpt)
+        vl = {k[len("vl_projector."):]: v for k, v in sd.items()
+              if k.startswith("vl_projector.")}
+        al = {k[len("al_projector."):]: v for k, v in sd.items()
+              if k.startswith("al_projector.")}
+        if vl:
+            trainable["vl_projector"] = imp.import_projector(
+                vl, cfg.vl_projector, kind="visual")
+        if al:
+            trainable["al_projector"] = imp.import_projector(
+                al, cfg.al_projector, kind="audio")
+
+    kw = {"avqa_annotation": args.annotation} if args.task == "avqa" else \
+         {"ave_annotation": args.annotation, "ave_data_root": args.data_root}
+    ds = UnifiedDataset(tok.as_tokenize(), mode="test", **kw)
+
+    def generate_fn(items):
+        batch = ds.collate(items, pad_to=args.pad_to)
+        meta, outputs = batch.pop("meta"), batch.pop("output")
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        toks = unified.generate(trainable, frozen, cfg, batch,
+                                max_new_tokens=args.max_new_tokens,
+                                eos_id=tok.eos_id, pad_id=tok.pad_id)
+        rows = []
+        for i, t in enumerate(np.asarray(toks)):
+            text = tok.decode([x for x in t.tolist() if x != tok.pad_id])
+            rows.append({**meta[i], "output": outputs[i], "predict": text})
+        return rows
+
+    path = run_inference(ds, generate_fn, args.output_dir,
+                         task=args.task, batch_size=args.batch_size)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

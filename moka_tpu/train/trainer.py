@@ -1,0 +1,115 @@
+"""Training loop: the ~200-line replacement for HF Trainer + DeepSpeed engine
++ UnifiedTrainer (``AudioVisualText/trainer.py``).
+
+Covers the reference behaviors that matter (SURVEY.md §2.12, §5):
+per-step metrics logging (``logging_steps 1``), periodic adapter-only
+checkpoints with auto-resume, final split torch export, config snapshot,
+rank-0 gating, introspection dumps (trainable param names/counts a la
+``model_trainable_params.txt``), optional modality-grouped batching
+(``trainer.py:91-160``), and ``jax.profiler`` tracing in place of
+``wall_clock_breakdown``."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from moka_tpu.core.config import TrainConfig, dump_config
+from moka_tpu.train import checkpoint as ckpt
+from moka_tpu.train.optim import make_optimizer
+from moka_tpu.train.step import TrainState, init_train_state, make_train_step
+from moka_tpu.utils.logging import MetricsLogger, param_report
+
+
+def grouped_indices(lengths: list[int], group_key: list,
+                    batch_size: int, seed: int) -> list[int]:
+    """Modality/length-grouped shuffle (UnifiedTrainer sampler,
+    ``trainer.py:91-160``): shuffle within modality groups, emit batches of
+    same-group samples in random batch order."""
+    rng = np.random.default_rng(seed)
+    groups: dict = {}
+    for i, key in enumerate(group_key):
+        groups.setdefault(key, []).append(i)
+    batches = []
+    for idxs in groups.values():
+        idxs = list(rng.permutation(idxs))
+        # length-sorted megabatches for padding efficiency
+        idxs.sort(key=lambda i: lengths[i])
+        batches.extend([idxs[i:i + batch_size]
+                        for i in range(0, len(idxs), batch_size)])
+    rng.shuffle(batches)
+    return [i for b in batches for i in b]
+
+
+class Trainer:
+    def __init__(self, loss_fn: Callable, trainable, frozen,
+                 cfg: TrainConfig, total_steps: int,
+                 full_config=None):
+        self.cfg = cfg
+        self.frozen = frozen
+        self.tx = make_optimizer(cfg, total_steps)
+        self.step_fn = make_train_step(loss_fn, self.tx)
+        self.state = init_train_state(trainable, self.tx,
+                                      jax.random.key(cfg.seed))
+        self.total_steps = total_steps
+        self.out_dir = cfg.output_dir
+        self.is_main = jax.process_index() == 0
+        if self.is_main:
+            os.makedirs(self.out_dir, exist_ok=True)
+            dump_config(full_config if full_config is not None else cfg,
+                        os.path.join(self.out_dir, "saved_config.json"))
+            # introspection dump (finetune.py:163-179 equivalent)
+            with open(os.path.join(self.out_dir,
+                                   "model_trainable_params.txt"), "w") as f:
+                f.write(param_report(trainable))
+        self.logger = MetricsLogger(self.out_dir, enabled=self.is_main)
+        self._maybe_resume()
+
+    def _maybe_resume(self) -> None:
+        ckpt_dir = os.path.join(self.out_dir, "checkpoints")
+        last = ckpt.latest_step(ckpt_dir)
+        if last is not None:
+            self.state = ckpt.restore(ckpt_dir, self.state)
+            if self.is_main:
+                print(f"[trainer] resumed from step {last}")
+
+    def train(self, batches: Iterable[dict],
+              profile_steps: tuple[int, int] | None = None) -> TrainState:
+        t0 = time.perf_counter()
+        for batch in batches:
+            step = int(self.state.step)
+            if step >= self.total_steps:
+                break
+            if profile_steps and step == profile_steps[0] and self.is_main:
+                jax.profiler.start_trace(os.path.join(self.out_dir, "trace"))
+            self.state, metrics = self.step_fn(self.state, self.frozen,
+                                               batch)
+            step += 1
+            if profile_steps and step == profile_steps[1] and self.is_main:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+            if step % self.cfg.log_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                metrics["step_time_s"] = dt / self.cfg.log_every
+                self.logger.log(step, metrics)
+            if self.cfg.save_every_steps and \
+                    step % self.cfg.save_every_steps == 0 and self.is_main:
+                ckpt.save(os.path.join(self.out_dir, "checkpoints"),
+                          self.state)
+        return self.state
+
+    def finalize(self) -> None:
+        """Final split save (adapter_model.bin + non_lora_trainables.bin
+        equivalents) + last orbax checkpoint."""
+        if not self.is_main:
+            return
+        ckpt.save(os.path.join(self.out_dir, "checkpoints"), self.state)
+        ckpt.export_torch_artifacts(self.out_dir, self.state.params)
+        self.logger.close()
