@@ -1,0 +1,350 @@
+"""Flash attention (Pallas, TPU): causal + key-padding masking, GQA, custom
+VJP with flash backward — never materializes the (B, H, L, S) score tensor.
+
+Why: the XLA attention path writes fp32 scores to HBM three times per layer
+under remat (fwd, recompute, bwd) — at the reference recipe's shapes
+(L ~ 1k, H 20-32) that is hundreds of MB per layer and the main MFU
+limiter of the fine-tune step.  Numerics match the eager path (fp32
+softmax, reference ``modeling_llama.py:367``) to output-dtype rounding.
+
+Masking is built inline from an ``attn_mask`` (B, S) validity vector plus a
+scalar ``q_offset`` (cache position at prefill/decode) — the dense
+(b, 1, L, S) bias of the naive path is never formed.  Layout inside the
+kernels is (B*H, L, hd) with the K/V index map folding GQA
+(``kv_head = head // group``).  ``interpret=True`` runs the same kernels on
+CPU for the parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _valid(q_ids, k_ids, mask_blk, causal, kv_len):
+    # kv_len guards the ragged tail block (out-of-bounds lanes are padding)
+    ok = (mask_blk[None, :] > 0) & (k_ids[None, :] < kv_len)
+    if causal:
+        ok = ok & (q_ids[:, None] >= k_ids[None, :])
+    return ok
+
+
+def _ids(offset, block, dim):
+    return offset + jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0)[:, 0]
+
+
+# ------------------------------------------------------------- forward ----
+
+def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, causal, scale, block_q, block_k,
+                kv_len):
+    kb, nk = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qb = pl.program_id(1)
+    q_ids = _ids(qoff_ref[0] + qb * block_q, block_q, 0)
+    k_ids = _ids(kb * block_k, block_k, 0)
+
+    run = True
+    if causal:
+        run = kb * block_k <= qoff_ref[0] + (qb + 1) * block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
+        m_prev = m_scr[:, 0]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+        v = v_ref[0].astype(jnp.float32)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, 0] = m_cur
+
+    @pl.when(kb == nk - 1)
+    def _():
+        l = l_scr[:, 0]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / safe[:, None]).astype(o_ref.dtype)
+        lse_ref[0] = m_scr[:, 0] + jnp.log(safe)
+
+
+# ------------------------------------------------------------ backward ----
+
+def _bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                   delta_ref, dq_ref, dq_scr, *, causal, scale, block_q,
+                   block_k, kv_len):
+    kb, nk = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    qb = pl.program_id(1)
+    q_ids = _ids(qoff_ref[0] + qb * block_q, block_q, 0)
+    k_ids = _ids(kb * block_k, block_k, 0)
+    run = True
+    if causal:
+        run = kb * block_k <= qoff_ref[0] + (qb + 1) * block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, None])
+        do = do_ref[0].astype(jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(kb == nk - 1)
+    def _():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                    lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    causal, scale, block_q, block_k, kv_len):
+    qb, nq = pl.program_id(2), pl.num_programs(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    kb = pl.program_id(1)
+    q_ids = _ids(qoff_ref[0] + qb * block_q, block_q, 0)
+    k_ids = _ids(kb * block_k, block_k, 0)
+    run = True
+    if causal:
+        # skip q blocks entirely above this k block's diagonal
+        run = qoff_ref[0] + (qb + 1) * block_q - 1 >= kb * block_k
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, None])  # (Bq, Bk)
+        do = do_ref[0].astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta_ref[0][:, None])
+        dk_scr[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qb == nq - 1)
+    def _():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+# ------------------------------------------------------------- wrapper ----
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, attn_mask, q_offset, causal, scale, block_q, block_k,
+           interpret):
+    out, _ = _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale,
+                            block_q, block_k, interpret)
+    return out
+
+
+def _specs(B, H, KH, L, S, hd, block_q, block_k):
+    """in_spec index maps for (q, k/v, mask); grid (B*H, q-block, k-block).
+    bh decomposes as (batch = bh // H, head = bh % H); the k/v array is
+    (B*KH, S, hd) indexed by batch * KH + head // group."""
+    G = H // KH
+
+    def kv_block(bh, o, i):
+        return ((bh // H) * KH + (bh % H) // G, i, 0)
+
+    def q_block(bh, o, i):
+        return (bh, o, 0)
+
+    def mask_block(bh, o, i):
+        return (bh // H, i)
+
+    return q_block, kv_block, mask_block
+
+
+def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
+                   block_k, interpret):
+    B, H, L, hd = q.shape
+    KH, S = k.shape[1], k.shape[2]
+    bq, bk = min(block_q, L), min(block_k, S)
+    nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
+    q_block, kv_block, mask_block = _specs(B, H, KH, L, S, hd, bq, bk)
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, causal=causal, scale=scale,
+                          block_q=bq, block_k=bk, kv_len=S),
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, hd), q_block),
+            pl.BlockSpec((1, bk, hd), kv_block),
+            pl.BlockSpec((1, bk, hd), kv_block),
+            pl.BlockSpec((1, bk), mask_block),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hd), q_block),
+            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+            jax.ShapeDtypeStruct((B * H, L), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qoff, q.reshape(B * H, L, hd), k.reshape(B * KH, S, hd),
+      v.reshape(B * KH, S, hd), attn_mask.astype(jnp.int32))
+    return out.reshape(B, H, L, hd), lse.reshape(B, H, L)
+
+
+def _flash_vjp_fwd(q, k, v, attn_mask, q_offset, causal, scale, block_q,
+                   block_k, interpret):
+    out, lse = _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale,
+                              block_q, block_k, interpret)
+    return out, (q, k, v, attn_mask, q_offset, out, lse)
+
+
+def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
+    q, k, v, attn_mask, q_offset, out, lse = res
+    B, H, L, hd = q.shape
+    KH, S = k.shape[1], k.shape[2]
+    G = H // KH
+    bq, bk = min(block_q, L), min(block_k, S)
+    nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (B, H, L)
+
+    q_r = q.reshape(B * H, L, hd)
+    k_r = k.reshape(B * KH, S, hd)
+    v_r = v.reshape(B * KH, S, hd)
+    do_r = dout.reshape(B * H, L, hd)
+    lse_r = lse.reshape(B * H, L)
+    delta_r = delta.reshape(B * H, L)
+    mask_i = attn_mask.astype(jnp.int32)
+
+    # ---- dq: grid (BH, nq, nk), accumulate over k blocks
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
+                          block_q=bq, block_k=bk, kv_len=S),
+        grid=(B * H, nq, nk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, i, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, i, 0)),
+            pl.BlockSpec((1, bk), lambda bh, o, i, H=H: (bh // H, i)),
+            pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
+            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
+            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        interpret=interpret,
+    )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
+
+    # ---- dk/dv: grid (BH, nk, nq), accumulate over q blocks; per-head
+    # results summed over the GQA group afterwards.
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
+                          block_q=bq, block_k=bk, kv_len=S),
+        grid=(B * H, nk, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, i, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, o, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, o, 0)),
+            pl.BlockSpec((1, bk), lambda bh, o, i, H=H: (bh // H, o)),
+            pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, i, 0)),
+            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, i)),
+            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i: (bh, o, 0)),
+            pl.BlockSpec((1, bk, hd), lambda bh, o, i: (bh, o, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, S, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, hd), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bk, hd), jnp.float32),
+                        pltpu.VMEM((bk, hd), jnp.float32)],
+        interpret=interpret,
+    )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
+
+    dk = dk.reshape(B, KH, G, S, hd).sum(axis=2).astype(k.dtype)
+    dv = dv.reshape(B, KH, G, S, hd).sum(axis=2).astype(v.dtype)
+    return dq.reshape(B, H, L, hd), dk, dv, None, None
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=128,
+              block_k=128, interpret=False):
+    """Drop-in for ``ops.attention.mha``: q (b, L, H, hd), k/v (b, S, K, hd),
+    attn_mask (b, S) validity, q_offset = position of query 0 in the key
+    axis.  Returns (b, L, H, hd).
+
+    Ragged lengths are padded up to the block size here (Pallas clamps
+    out-of-range tail blocks, which would desync the position ids inside the
+    kernel); padded keys are masked out via attn_mask."""
+    hd = q.shape[-1]
+    L, S = q.shape[1], k.shape[1]
+    bq, bk = min(block_q, L), min(block_k, S)
+    Lp = -(-L // bq) * bq
+    Sp = -(-S // bk) * bk
+    if Lp != L:
+        q = jnp.pad(q, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        attn_mask = jnp.pad(attn_mask, ((0, 0), (0, Sp - S)))
+    scale = 1.0 / (hd ** 0.5)
+    out = _flash(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                 v.transpose(0, 2, 1, 3), attn_mask, q_offset, causal,
+                 scale, block_q, block_k, interpret)
+    return out.transpose(0, 2, 1, 3)[:, :L]
