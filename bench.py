@@ -24,7 +24,7 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.35
 
 
-def run(cfg_name, cfg, batch, seqlen):
+def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
     import jax
     import jax.numpy as jnp
     from moka_tpu.core.config import TrainConfig
@@ -57,7 +57,9 @@ def run(cfg_name, cfg, batch, seqlen):
                "modality_masks": jnp.asarray(mod),
                "question_mask": jnp.asarray(q)}
 
-    loss_fn = make_llama_moka_loss(cfg, spec, remat=True)
+    loss_fn = make_llama_moka_loss(cfg, spec, remat=True,
+                                   use_flash=use_flash,
+                                   fused_loss=fused_loss)
     step = make_train_step(loss_fn, tx, donate=True)
 
     # warmup (compile) + 2 steps
@@ -84,6 +86,7 @@ def run(cfg_name, cfg, batch, seqlen):
         "tokens_per_sec": tokens_per_sec,
         "model_flops_per_sec": tokens_per_sec * flops_per_token,
         "device": str(device),
+        "use_flash": use_flash, "fused_loss": fused_loss,
     }
 
 

@@ -131,9 +131,10 @@ def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
                           dropout_rng=rng)
 
 
-def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, h: Array,
-                   layer: dict, adapters: dict | None,
-                   masks: MaskBundle | None, bias: Array,
+def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
+                   h: Array, layer: dict, adapters: dict | None,
+                   masks: MaskBundle | None, bias: Array | None,
+                   attn_mask: Array | None,
                    cos: Array, sin: Array,
                    cache_k: Array | None, cache_v: Array | None,
                    cache_index: Array | None,
@@ -162,7 +163,13 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, h: Array,
     else:
         k_all, v_all = k, v
 
-    attn = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias)
+    if use_flash:
+        from moka_tpu.ops.flash_attention import flash_mha
+        qoff = cache_index if cache_index is not None else 0
+        attn = flash_mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                         attn_mask, q_offset=qoff)
+    else:
+        attn = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias)
     attn = attn.reshape(b, L, H * hd)
     h = h + proj("o", x=attn, base_w=layer["o"])
 
@@ -190,7 +197,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
             cache: dict | None = None,
             remat: bool = False,
             dropout_rng: Array | None = None,
-            logits: bool = True):
+            logits: bool = True,
+            use_flash: bool = False):
     """Full decoder forward.
 
     attn_mask: (b, S) valid-key mask over the *attention span* (the current
@@ -215,15 +223,16 @@ def forward(base: dict, cfg: LlamaConfig, *,
         cache_index = cache["length"]
         if attn_mask is None:
             raise ValueError("cached forward needs attn_mask over the cache")
-        bias = causal_bias(attn_mask, L, S, q_offset=cache_index)
+        bias = None if use_flash else causal_bias(attn_mask, L, S,
+                                                  q_offset=cache_index)
     else:
         S = L
         cache_index = None
         if attn_mask is None:
             attn_mask = jnp.ones((b, L), jnp.int32)
-        bias = causal_bias(attn_mask, L, L)
+        bias = None if use_flash else causal_bias(attn_mask, L, L)
 
-    layer_fn = functools.partial(_decoder_layer, cfg, spec)
+    layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash)
     if remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(), policy=None)
@@ -242,9 +251,9 @@ def forward(base: dict, cfg: LlamaConfig, *,
         xs["rng"] = layer_rngs
 
     def scan_body(h, x):
-        h, ck, cv = layer_fn(h, x["layer"], x.get("ad"), masks, bias, cos,
-                             sin, x.get("ck"), x.get("cv"), cache_index,
-                             x.get("rng"))
+        h, ck, cv = layer_fn(h, x["layer"], x.get("ad"), masks, bias,
+                             attn_mask, cos, sin, x.get("ck"), x.get("cv"),
+                             cache_index, x.get("rng"))
         return h, (ck, cv)
 
     h, (new_k, new_v) = jax.lax.scan(scan_body, h, xs)
@@ -275,3 +284,44 @@ def cross_entropy_loss(logits: Array, labels: Array,
     nll = jnp.where(valid, nll, 0.0)
     denom = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(nll) / denom
+
+
+def chunked_cross_entropy(h: Array, lm_head: Array, labels: Array,
+                          ignore_index: int = -100,
+                          chunk: int = 128) -> Array:
+    """Shift-by-one CE fused with the lm_head projection, scanned over
+    sequence chunks so the full fp32 (b, L, V) logits tensor never
+    materializes (at the reference recipe's shapes that tensor is ~0.5 GB
+    and pure HBM traffic).  Each chunk is rematerialized in the backward.
+    Numerically identical to ``forward(logits=True)`` + cross_entropy_loss.
+    """
+    b, L, d = h.shape
+    h = h[:, :-1]
+    targets = labels[:, 1:]
+    n = L - 1
+    pad = (-n) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        targets = jnp.pad(targets, ((0, 0), (0, pad)),
+                          constant_values=ignore_index)
+    nc = (n + pad) // chunk
+    h = h.reshape(b, nc, chunk, d).transpose(1, 0, 2, 3)
+    targets = targets.reshape(b, nc, chunk).transpose(1, 0, 2)
+
+    @jax.checkpoint
+    def one(carry, xs):
+        hc, tc = xs
+        logits = jnp.einsum("bld,dv->blv", hc, lm_head,
+                            preferred_element_type=jnp.float32)
+        valid = tc != ignore_index
+        safe = jnp.where(valid, tc, 0)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss_sum, count = carry
+        return (loss_sum + jnp.sum(jnp.where(valid, nll, 0.0)),
+                count + jnp.sum(valid)), None
+
+    (loss_sum, count), _ = jax.lax.scan(
+        one, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)),
+        (h, targets))
+    return loss_sum / jnp.maximum(count, 1)

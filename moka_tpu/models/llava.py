@@ -111,16 +111,22 @@ def _masks(batch: dict) -> llama.MaskBundle:
     return llama.MaskBundle(mod, batch["question_mask"])
 
 
-def llava_loss(cfg: LlavaConfig, remat: bool = True):
+def llava_loss(cfg: LlavaConfig, remat: bool = True,
+               use_flash: bool = False, fused_loss: bool = False):
     def loss_fn(trainable, frozen, batch, rng):
         embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
-        logits, _ = llama.forward(
+        out, _ = llama.forward(
             frozen["llama"], cfg.llama, adapters=trainable["adapters"],
             spec=cfg.spec, inputs_embeds=embeds, masks=_masks(batch),
             attn_mask=batch.get("attn_mask"),
             positions=batch.get("positions"), remat=remat,
+            use_flash=use_flash, logits=not fused_loss,
             dropout_rng=rng if cfg.spec.dropout_rate > 0 else None)
-        loss = llama.cross_entropy_loss(logits, batch["labels"])
+        if fused_loss:
+            loss = llama.chunked_cross_entropy(
+                out, frozen["llama"]["lm_head"], batch["labels"])
+        else:
+            loss = llama.cross_entropy_loss(out, batch["labels"])
         return loss, {"supervised_tokens": jnp.sum(batch["labels"] != -100)}
 
     return loss_fn

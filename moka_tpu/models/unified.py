@@ -135,7 +135,8 @@ def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
 
 
 def unified_loss(cfg: UnifiedConfig, remat: bool = True,
-                 train_adapters: bool = True):
+                 train_adapters: bool = True, use_flash: bool = False,
+                 fused_loss: bool = False):
     """Loss closure for the generic train step.  ``train_adapters=False`` =
     stage-1 pretraining (plain-linear twin: no adapter deltas at all,
     ``modeling_llama_post_pretrian.py``)."""
@@ -146,13 +147,17 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
                                  batch["question_mask"])
         adapters = trainable.get("adapters") if train_adapters else None
         spec = cfg.spec if adapters is not None else None
-        logits, _ = llama.forward(
+        out, _ = llama.forward(
             frozen["llama"], cfg.llama, adapters=adapters, spec=spec,
             inputs_embeds=embeds, masks=masks if adapters is not None else None,
             attn_mask=batch["attn_mask"], positions=batch["positions"],
-            remat=remat,
+            remat=remat, use_flash=use_flash, logits=not fused_loss,
             dropout_rng=rng if (spec and spec.dropout_rate > 0) else None)
-        loss = llama.cross_entropy_loss(logits, batch["labels"])
+        if fused_loss:
+            loss = llama.chunked_cross_entropy(
+                out, frozen["llama"]["lm_head"], batch["labels"])
+        else:
+            loss = llama.cross_entropy_loss(out, batch["labels"])
         return loss, {"supervised_tokens":
                       jnp.sum(batch["labels"] != -100)}
 

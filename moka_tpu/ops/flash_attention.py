@@ -62,19 +62,19 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
         m_prev = m_scr[:, 0]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])
         l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
-        v = v_ref[0].astype(jnp.float32)
+        v = v_ref[0]
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:, 0] = m_cur
 
@@ -83,7 +83,7 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l = l_scr[:, 0]
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / safe[:, None]).astype(o_ref.dtype)
-        lse_ref[0] = m_scr[:, 0] + jnp.log(safe)
+        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(safe)
 
 
 # ------------------------------------------------------------ backward ----
@@ -106,19 +106,19 @@ def _bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, None])
-        do = do_ref[0].astype(jnp.float32)
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        do = do_ref[0]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         dq_scr[:] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(kb == nk - 1)
@@ -146,22 +146,23 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0], causal, kv_len), s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, None])  # (Bq, Bk)
-        do = do_ref[0].astype(jnp.float32)
+        s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, None])  # (Bq, Bk)
+        do = do_ref[0]
+        pb = p.astype(do.dtype)
         dv_scr[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            pb, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0][:, None])
+        ds = p * (dp - delta_ref[0, 0][:, None])
         dk_scr[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(qb == nq - 1)
@@ -194,7 +195,7 @@ def _specs(B, H, KH, L, S, hd, block_q, block_k):
         return (bh, o, 0)
 
     def mask_block(bh, o, i):
-        return (bh // H, i)
+        return (bh // H, 0, i)
 
     return q_block, kv_block, mask_block
 
@@ -217,15 +218,15 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
             pl.BlockSpec((1, bq, hd), q_block),
             pl.BlockSpec((1, bk, hd), kv_block),
             pl.BlockSpec((1, bk, hd), kv_block),
-            pl.BlockSpec((1, bk), mask_block),
+            pl.BlockSpec((1, 1, bk), mask_block),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, hd), q_block),
-            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
+            pl.BlockSpec((1, 1, bq), lambda bh, o, i: (bh, 0, o)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
-            jax.ShapeDtypeStruct((B * H, L), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, 1, L), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -234,7 +235,7 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
         ],
         interpret=interpret,
     )(qoff, q.reshape(B * H, L, hd), k.reshape(B * KH, S, hd),
-      v.reshape(B * KH, S, hd), attn_mask.astype(jnp.int32))
+      v.reshape(B * KH, S, hd), attn_mask.astype(jnp.int32)[:, None, :])
     return out.reshape(B, H, L, hd), lse.reshape(B, H, L)
 
 
@@ -261,9 +262,9 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)
-    lse_r = lse.reshape(B * H, L)
-    delta_r = delta.reshape(B * H, L)
-    mask_i = attn_mask.astype(jnp.int32)
+    lse_r = lse.reshape(B * H, 1, L)
+    delta_r = delta.reshape(B * H, 1, L)
+    mask_i = attn_mask.astype(jnp.int32)[:, None, :]
 
     # ---- dq: grid (BH, nq, nk), accumulate over k blocks
     dq = pl.pallas_call(
@@ -275,10 +276,10 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
             pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
             pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, i, 0)),
             pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, i, 0)),
-            pl.BlockSpec((1, bk), lambda bh, o, i, H=H: (bh // H, i)),
+            pl.BlockSpec((1, 1, bk), lambda bh, o, i, H=H: (bh // H, 0, i)),
             pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
-            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
-            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, o)),
+            pl.BlockSpec((1, 1, bq), lambda bh, o, i: (bh, 0, o)),
+            pl.BlockSpec((1, 1, bq), lambda bh, o, i: (bh, 0, o)),
         ],
         out_specs=pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
@@ -297,10 +298,10 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
             pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, i, 0)),
             pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, o, 0)),
             pl.BlockSpec((1, bk, hd), lambda bh, o, i, H=H, KH=KH, G=G: ((bh // H) * KH + (bh % H) // G, o, 0)),
-            pl.BlockSpec((1, bk), lambda bh, o, i, H=H: (bh // H, o)),
+            pl.BlockSpec((1, 1, bk), lambda bh, o, i, H=H: (bh // H, 0, o)),
             pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, i, 0)),
-            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, i)),
-            pl.BlockSpec((1, bq), lambda bh, o, i: (bh, i)),
+            pl.BlockSpec((1, 1, bq), lambda bh, o, i: (bh, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda bh, o, i: (bh, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, hd), lambda bh, o, i: (bh, o, 0)),
@@ -323,8 +324,8 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
-def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=128,
-              block_k=128, interpret=False):
+def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
+              block_k=512, interpret=False):
     """Drop-in for ``ops.attention.mha``: q (b, L, H, hd), k/v (b, S, K, hd),
     attn_mask (b, S) validity, q_offset = position of query 0 in the key
     axis.  Returns (b, L, H, hd).

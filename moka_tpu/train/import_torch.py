@@ -302,3 +302,60 @@ def import_moka_adapters_avt(sd: dict, cfg: LlamaConfig, num_modalities: int,
             out[proj]["b"][layer] = w.T      # (d_out, r) -> (r, d_out)
     return {"layers": {k: {"a": jnp.asarray(v["a"]),
                            "b": jnp.asarray(v["b"])} for k, v in out.items()}}
+
+
+_VT_LORA_KEY = re.compile(
+    r".*layers\.(\d+)\.(?:self_attn|mlp)\.(\w+)_proj\.lora_([AB])\.(\w+)\.weight")
+
+
+def import_moka_adapters_vt(sd: dict, cfg: LlamaConfig, rank: int,
+                            adapters: tuple[str, ...] = ("text", "image"),
+                            targets=("q", "k", "v", "o", "gate", "up",
+                                     "down")) -> dict:
+    """VT PeftMixedModel naming (``...q_proj.lora_A.image.weight``,
+    shared ``lora_B.text.weight``) -> layer-stacked adapter pytree.
+    Modality order matches MokaSpec.vt: index 0 = text, 1 = image."""
+    from moka_tpu.models.llama import _proj_shapes
+    shapes = _proj_shapes(cfg)
+    order = {name: i for i, name in enumerate(adapters)}
+    out = {name: {"a": np.zeros((cfg.n_layers, len(adapters),
+                                 shapes[name][0], rank), np.float32),
+                  "b": np.zeros((cfg.n_layers, rank, shapes[name][1]),
+                                np.float32)}
+           for name in targets}
+    for key, w in sd.items():
+        m = _VT_LORA_KEY.match(key)
+        if not m:
+            continue
+        layer, proj, ab, adapter = m.groups()
+        layer = int(layer)
+        if proj not in out or adapter not in order:
+            continue
+        w = np.asarray(w, np.float32)
+        if ab == "A":
+            out[proj]["a"][layer, order[adapter]] = w.T
+        elif adapter == "text":  # only lora_B.text is applied (layer.py:657)
+            out[proj]["b"][layer] = w.T
+    return {"layers": {k: {"a": jnp.asarray(v["a"]),
+                           "b": jnp.asarray(v["b"])} for k, v in out.items()}}
+
+
+def import_vt_trainable(sd: dict, cfg, trainable: dict) -> dict:
+    """VT full-state ``model.safetensors`` / ``visual_pretrain.bin`` ->
+    {projector, adapters}.  The projector is the reference VLProjector
+    mounted as ``multi_modal_projector`` (``modelling_llava.py:183``), so its
+    keys keep the visual_* attribute names under that prefix."""
+    proj_sd = {}
+    for k, v in sd.items():
+        idx = k.find("multi_modal_projector.")
+        if idx >= 0:
+            proj_sd[k[idx + len("multi_modal_projector."):]] = v
+    if proj_sd:
+        trainable = dict(trainable)
+        trainable["projector"] = import_projector(
+            proj_sd, cfg.projector, kind="visual")
+    if any(".lora_A." in k for k in sd):
+        trainable = dict(trainable)
+        trainable["adapters"] = import_moka_adapters_vt(
+            sd, cfg.llama, cfg.spec.rank)
+    return trainable

@@ -13,12 +13,14 @@ from moka_tpu.ops.moka import MokaSpec
 
 
 def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
-                         remat: bool = True):
+                         remat: bool = True, use_flash: bool = False,
+                         fused_loss: bool = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
     ``labels`` (b, L) with -100 ignore; optional ``modality_masks`` (M, b, L),
     ``question_mask`` (b, L), ``attn_mask`` (b, L), ``positions`` (b, L).
+    use_flash: Pallas flash attention; fused_loss: chunked lm_head+CE.
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -26,14 +28,19 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
         if "modality_masks" in batch:
             masks = llama.MaskBundle(batch["modality_masks"],
                                      batch["question_mask"])
-        logits, _ = llama.forward(
+        out, _ = llama.forward(
             frozen, cfg, adapters=trainable["adapters"], spec=spec,
             tokens=batch.get("tokens"),
             inputs_embeds=batch.get("inputs_embeds"),
             masks=masks, attn_mask=batch.get("attn_mask"),
             positions=batch.get("positions"), remat=remat,
-            dropout_rng=rng if spec.dropout_rate > 0 else None)
-        loss = llama.cross_entropy_loss(logits, batch["labels"])
+            dropout_rng=rng if spec.dropout_rate > 0 else None,
+            logits=not fused_loss, use_flash=use_flash)
+        if fused_loss:
+            loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
+                                               batch["labels"])
+        else:
+            loss = llama.cross_entropy_loss(out, batch["labels"])
         ntok = jnp.sum(batch["labels"] != -100)
         return loss, {"supervised_tokens": ntok}
 
