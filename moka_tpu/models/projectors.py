@@ -29,6 +29,7 @@ class ProjectorConfig:
     num_query_tokens: int = 32
     qformer_layers: int = 2
     qformer_hidden: int = 768
+    qformer_heads: int = 12
     d_model: int = 4096
     tokens_per_group: int = 256     # CLIP patches per frame / BEATs tokens
     ln_eps: float = 1e-12
@@ -36,6 +37,7 @@ class ProjectorConfig:
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(hidden=self.qformer_hidden,
                              n_layers=self.qformer_layers,
+                             n_heads=self.qformer_heads,
                              encoder_width=self.input_width,
                              num_query_tokens=self.num_query_tokens)
 
