@@ -91,9 +91,11 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
 
 
 def _candidates():
+    # Ordered by likelihood of fitting one v5e chip (16 GB): the 3B variant
+    # is the single-chip flagship (7B bf16 params alone are 13.5 GB and the
+    # tunneled chip OOMs even at batch 1); 7B+ runs sharded via the mesh.
     from moka_tpu.core.config import LlamaConfig
     return {
-        "llama2_7b": (LlamaConfig.llama2_7b(vocab_size=32011), 1, 1024),
         "llama_3b": (LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
                                  intermediate=6912), 4, 1024),
