@@ -185,3 +185,38 @@ def projector_to_torch_state_dict(proj: dict, kind: str = "visual",
                                                   np.float32).T.copy()
                 sd[f"{full}.bias"] = np.asarray(p["b"][i], np.float32)
     return sd
+
+
+def export_vt_state_dict(trainable: dict, cfg) -> dict:
+    """VT trainable -> reference naming (``multi_modal_projector.*`` +
+    PeftMixedModel ``...q_proj.lora_A.{text,image}.weight`` /
+    ``lora_B.text.weight``), the schema ``model.safetensors`` stores and the
+    eval drivers load strict (``mmbench.py:576-577``)."""
+    sd = {}
+    if "projector" in trainable:
+        sd.update(projector_to_torch_state_dict(
+            trainable["projector"], kind="visual",
+            prefix="multi_modal_projector."))
+    group = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+             "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+             "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+             "down": "mlp.down_proj"}
+    names = ("text", "image")
+    if "adapters" in trainable:
+        for name, p in trainable["adapters"]["layers"].items():
+            a = np.asarray(p["a"], np.float32)
+            b = np.asarray(p["b"], np.float32)
+            for layer in range(a.shape[0]):
+                base = (f"language_model.model.layers.{layer}."
+                        f"{group[name]}")
+                for m, adapter in enumerate(names):
+                    sd[f"{base}.lora_A.{adapter}.weight"] = \
+                        a[layer, m].T.copy()
+                sd[f"{base}.lora_B.text.weight"] = b[layer].T.copy()
+    return sd
+
+
+def save_vt_safetensors(path: str, trainable: dict, cfg) -> None:
+    from safetensors.numpy import save_file
+    save_file({k: np.ascontiguousarray(v) for k, v in
+               export_vt_state_dict(trainable, cfg).items()}, path)
