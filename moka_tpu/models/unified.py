@@ -87,14 +87,27 @@ def init_frozen(rng: Array, cfg: UnifiedConfig, dtype=jnp.bfloat16) -> dict:
 
 
 def init_trainable(rng: Array, cfg: UnifiedConfig,
-                   with_adapters: bool = True) -> dict:
-    k1, k2, k3 = jax.random.split(rng, 3)
+                   with_adapters: bool = True,
+                   n_new_token_embeds: int = 0,
+                   frozen: dict | None = None) -> dict:
+    """n_new_token_embeds > 0 adds trainable embedding rows for the appended
+    special tokens (stage-1 trains them alongside the projectors and saves
+    them in ``non_lora_trainables.bin`` — ``pretrain.py:71-109,144-148``;
+    stage-2 discards them, ``finetune.py:138-148`` pops embed_tokens)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
     out = {
         "vl_projector": init_projector_params(k1, cfg.vl_projector),
         "al_projector": init_projector_params(k2, cfg.al_projector),
     }
     if with_adapters and cfg.spec is not None:
         out["adapters"] = llama.init_moka_adapters(k3, cfg.llama, cfg.spec)
+    if n_new_token_embeds > 0:
+        if frozen is not None:
+            rows = frozen["llama"]["embed"][-n_new_token_embeds:]
+            out["new_token_embeds"] = jnp.asarray(rows, jnp.float32)
+        else:
+            out["new_token_embeds"] = jax.random.normal(
+                k4, (n_new_token_embeds, cfg.llama.dim)) * 0.02
     return out
 
 
@@ -125,6 +138,14 @@ def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
                         batch: dict) -> Array:
     """Token embeds + feature splice (device-side half of the assembler)."""
     embeds = jnp.take(frozen["llama"]["embed"], batch["ids"], axis=0)
+    if "new_token_embeds" in trainable:
+        # overlay the trainable rows for the appended special tokens
+        new = trainable["new_token_embeds"]
+        base = cfg.llama.vocab_size - new.shape[0]
+        idx = jnp.clip(batch["ids"] - base, 0, new.shape[0] - 1)
+        overlay = jnp.take(new, idx, axis=0).astype(embeds.dtype)
+        embeds = jnp.where((batch["ids"] >= base)[..., None], overlay,
+                           embeds)
     video_tokens, audio_tokens = encode_modalities(
         trainable, frozen, cfg, batch.get("video"), batch.get("audio"))
     return splice_features(embeds,

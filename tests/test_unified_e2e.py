@@ -135,3 +135,24 @@ def test_unified_generate():
                             max_new_tokens=4, eos_id=2, pad_id=0)
     assert toks.shape == (2, 4)
     assert np.asarray(toks).dtype == np.int32
+
+
+def test_stage1_trainable_new_token_embeds():
+    """Stage-1 also trains embedding rows for the appended special tokens
+    (pretrain.py:71-109); they overlay the frozen table and get gradients."""
+    r1, r2 = jax.random.split(jax.random.key(7))
+    frozen = unified.init_frozen(r1, CFG, dtype=jnp.float32)
+    trainable = unified.init_trainable(r2, CFG, with_adapters=False,
+                                       n_new_token_embeds=11, frozen=frozen)
+    batch = _make_batch(seed=9)
+    # force some ids into the new-token range
+    base = CFG.llama.vocab_size - 11
+    ids = np.asarray(batch["ids"]).copy()
+    ids[:, -3] = base + 3  # a real (non-pad) position near the sequence end
+    batch["ids"] = jnp.asarray(ids)
+    loss_fn = unified.unified_loss(CFG, remat=False, train_adapters=False)
+    (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainable, frozen, batch, jax.random.key(0))
+    g = np.asarray(grads["new_token_embeds"])
+    assert np.abs(g[3]).sum() > 0          # used row gets gradient
+    assert np.abs(g[5]).sum() == 0         # unused row does not
