@@ -82,7 +82,7 @@ def make_ring_attention(mesh: Mesh, axis: str = "seq"):
         shard_map, mesh=mesh,
         in_specs=(P(None, axis, None, None), P(None, axis, None, None),
                   P(None, axis, None, None), P(None, axis)),
-        out_specs=P(None, axis, None, None), check_rep=False)
+        out_specs=P(None, axis, None, None))
     def ring(q, k, v, attn_mask):
         idx = jax.lax.axis_index(axis)
         b, Lq, H, hd = q.shape
