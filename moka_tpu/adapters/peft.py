@@ -110,3 +110,88 @@ def boft_weight(w: Array, p: dict, spec: BoftSpec,
 
 def boft_linear(x: Array, w: Array, p: dict, spec: BoftSpec) -> Array:
     return jnp.einsum("...d,df->...f", x, boft_weight(w, p, spec))
+
+
+# ------------------------------------------------------------------- OFT --
+
+def init_oft(d_in: int, block_size: int = 4) -> dict:
+    """OFT: single block-diagonal orthogonal transform (BOFT without the
+    butterfly factorization — reference tuners/oft)."""
+    if d_in % block_size:
+        raise ValueError(d_in)
+    return {"q": jnp.zeros((d_in // block_size, block_size, block_size),
+                           jnp.float32)}
+
+
+def oft_weight(w: Array, p: dict) -> Array:
+    r = cayley(p["q"])
+    return block_diag_matmul(r[None], w[None], use_pallas=False)[0]
+
+
+def oft_linear(x: Array, w: Array, p: dict) -> Array:
+    return jnp.einsum("...d,df->...f", x, oft_weight(w, p))
+
+
+# ------------------------------------------------------------------ LoHa --
+
+def init_loha(rng: Array, d_in: int, d_out: int, rank: int = 4) -> dict:
+    """LoHa: delta = (A1 @ B1) * (A2 @ B2) Hadamard (reference tuners/loha)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    s = 1.0 / math.sqrt(d_in)
+    return {"a1": jax.random.uniform(k1, (d_in, rank), jnp.float32, -s, s),
+            "b1": jnp.zeros((rank, d_out), jnp.float32),
+            "a2": jax.random.uniform(k2, (d_in, rank), jnp.float32, -s, s),
+            "b2": jax.random.uniform(k3, (rank, d_out), jnp.float32, -s, s)}
+
+
+def loha_delta(p: dict, scale: float = 1.0) -> Array:
+    return (p["a1"] @ p["b1"]) * (p["a2"] @ p["b2"]) * scale
+
+
+def loha_linear(x: Array, w: Array, p: dict, scale: float = 1.0) -> Array:
+    return jnp.einsum("...d,df->...f", x, w + loha_delta(p, scale))
+
+
+# ------------------------------------------------------------------ LoKr --
+
+def init_lokr(rng: Array, d_in: int, d_out: int, factor_in: int,
+              factor_out: int, rank: int = 4) -> dict:
+    """LoKr: delta = kron(C, A @ B) with C (factor_in, factor_out) and the
+    low-rank pair covering the complementary factors (reference tuners/lokr)."""
+    if d_in % factor_in or d_out % factor_out:
+        raise ValueError((d_in, factor_in, d_out, factor_out))
+    u_in, u_out = d_in // factor_in, d_out // factor_out
+    k1, k2, k3 = jax.random.split(rng, 3)
+    s = 1.0 / math.sqrt(u_in)
+    return {"c": jax.random.normal(k1, (factor_in, factor_out)) * 0.02,
+            "a": jax.random.uniform(k2, (u_in, rank), jnp.float32, -s, s),
+            "b": jnp.zeros((rank, u_out), jnp.float32)}
+
+
+def lokr_delta(p: dict, scale: float = 1.0) -> Array:
+    return jnp.kron(p["c"], p["a"] @ p["b"]) * scale
+
+
+def lokr_linear(x: Array, w: Array, p: dict, scale: float = 1.0) -> Array:
+    return jnp.einsum("...d,df->...f", x, w + lokr_delta(p, scale))
+
+
+# ------------------------------------------------------------------ VeRA --
+
+def init_vera(rng: Array, d_in: int, d_out: int, rank: int = 16) -> dict:
+    """VeRA: shared frozen random A/B + trainable per-layer scaling vectors
+    (reference tuners/vera).  The frozen pair lives here for convenience;
+    share it across layers by passing the same dict."""
+    k1, k2 = jax.random.split(rng)
+    return {
+        "frozen_a": jax.random.normal(k1, (d_in, rank)) / math.sqrt(d_in),
+        "frozen_b": jax.random.normal(k2, (rank, d_out)) / math.sqrt(rank),
+        "d": jnp.ones((rank,), jnp.float32) * 0.1,
+        "b": jnp.zeros((d_out,), jnp.float32),
+    }
+
+
+def vera_linear(x: Array, w: Array, p: dict) -> Array:
+    h = jnp.einsum("...d,dr->...r", x, p["frozen_a"]) * p["d"]
+    delta = jnp.einsum("...r,rf->...f", h, p["frozen_b"]) * p["b"]
+    return jnp.einsum("...d,df->...f", x, w) + delta

@@ -95,3 +95,42 @@ def test_boft_identity_at_init_and_norm_preserving():
         np.linalg.norm(np.asarray(w), axis=0), rtol=1e-4)
     x = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
     assert boft_linear(x, w, p, spec).shape == (2, 8)
+
+
+def test_oft_orthogonal_transform():
+    from moka_tpu.adapters.peft import init_oft, oft_linear, oft_weight
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    p = init_oft(8, block_size=4)
+    np.testing.assert_allclose(np.asarray(oft_weight(w, p)), np.asarray(w),
+                               rtol=1e-6)
+    p = {"q": jnp.asarray(rng.standard_normal((2, 4, 4)) * 0.2, jnp.float32)}
+    w2 = oft_weight(w, p)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(w2), axis=0),
+                               np.linalg.norm(np.asarray(w), axis=0),
+                               rtol=1e-4)
+    assert oft_linear(jnp.ones((2, 8)), w, p).shape == (2, 6)
+
+
+def test_loha_lokr_vera_zero_init_and_grads():
+    from moka_tpu.adapters.peft import (init_loha, init_lokr, init_vera,
+                                        loha_linear, lokr_linear,
+                                        vera_linear)
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+    base = x @ w
+
+    ph = init_loha(jax.random.key(0), 8, 6)
+    np.testing.assert_allclose(np.asarray(loha_linear(x, w, ph)),
+                               np.asarray(base), rtol=1e-5)
+    pk = init_lokr(jax.random.key(1), 8, 6, factor_in=2, factor_out=2)
+    np.testing.assert_allclose(np.asarray(lokr_linear(x, w, pk)),
+                               np.asarray(base), rtol=1e-5)
+    pv = init_vera(jax.random.key(2), 8, 6)
+    np.testing.assert_allclose(np.asarray(vera_linear(x, w, pv)),
+                               np.asarray(base), rtol=1e-5)
+
+    for p, fn in ((ph, loha_linear), (pk, lokr_linear), (pv, vera_linear)):
+        g = jax.grad(lambda p_: jnp.sum(fn(x, w, p_) ** 2))(p)
+        assert sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g)) > 0

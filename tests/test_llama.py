@@ -131,3 +131,27 @@ def test_grads_only_adapters():
     g = jax.grad(loss_fn)(adapters)
     total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_rope_scaling_variants():
+    """Linear and dynamic-NTK RoPE scaling (reference
+    modeling_llama.py:128-178) change long-position frequencies only."""
+    from moka_tpu.ops.rope import rope_cos_sin
+    import jax.numpy as jnp
+    pos = jnp.arange(16)[None, :]
+    base_cos, _ = rope_cos_sin(pos, 16, 10000.0, None)
+    lin_cos, _ = rope_cos_sin(pos, 16, 10000.0, ("linear", 2.0))
+    # linear scaling halves effective positions: cos(p/2 * f) == cos at p/2
+    half_cos, _ = rope_cos_sin(jnp.arange(0, 8, 0.5)[None, :], 16, 10000.0,
+                               None)
+    np.testing.assert_allclose(np.asarray(lin_cos), np.asarray(half_cos),
+                               rtol=1e-5)
+    # dynamic NTK: identical below max_seq_len, different beyond
+    dyn_short, _ = rope_cos_sin(pos, 16, 10000.0, ("dynamic", 2.0),
+                                seq_len=16, max_seq_len=32)
+    np.testing.assert_allclose(np.asarray(dyn_short), np.asarray(base_cos),
+                               rtol=1e-6)
+    dyn_long, _ = rope_cos_sin(pos, 16, 10000.0, ("dynamic", 2.0),
+                               seq_len=64, max_seq_len=32)
+    assert float(np.abs(np.asarray(dyn_long) - np.asarray(base_cos)).max()) \
+        > 1e-4

@@ -1,0 +1,76 @@
+"""Trainer loop: metrics files, periodic checkpointing, auto-resume,
+final artifact export, grouped sampler."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig, TrainConfig
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+from moka_tpu.train.objectives import make_llama_moka_loss
+from moka_tpu.train.trainer import Trainer, grouped_indices
+
+CFG = LlamaConfig.tiny(vocab_size=64)
+SPEC = MokaSpec.avt(rank=4, dropout_rate=0.0)
+
+
+def _batches(n, b=2, L=16):
+    rng = np.random.default_rng(0)
+    for _ in range(n):
+        toks = rng.integers(4, 64, (b, L)).astype(np.int32)
+        yield {"tokens": jnp.asarray(toks), "labels": jnp.asarray(toks)}
+
+
+def _make_trainer(out_dir, total=6, save_every=2):
+    r1, r2 = jax.random.split(jax.random.key(0))
+    frozen = llama.init_llama_params(r1, CFG, dtype=jnp.float32)
+    trainable = {"adapters": llama.init_moka_adapters(r2, CFG, SPEC)}
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_ratio=0.0,
+                       save_every_steps=save_every, output_dir=str(out_dir))
+    return Trainer(make_llama_moka_loss(CFG, SPEC, remat=False), trainable,
+                   frozen, tcfg, total_steps=total), frozen
+
+
+def test_trainer_train_checkpoint_resume_export(tmp_path):
+    out = tmp_path / "run"
+    trainer, frozen = _make_trainer(out, total=4, save_every=2)
+    state = trainer.train(_batches(10))
+    assert int(state.step) == 4
+    trainer.finalize()
+
+    # artifacts
+    assert (out / "saved_config.json").exists()
+    assert (out / "model_trainable_params.txt").exists()
+    assert (out / "adapter_model.bin").exists()
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert len(lines) == 4 and "loss" in lines[0]
+
+    # a fresh trainer auto-resumes from the final checkpoint
+    trainer2, _ = _make_trainer(out, total=6, save_every=2)
+    assert int(trainer2.state.step) == 4
+    state2 = trainer2.train(_batches(10))
+    assert int(state2.step) == 6
+
+    # exported adapters import back
+    from moka_tpu.train import import_torch as imp
+    sd = imp.load_torch(str(out / "adapter_model.bin"))
+    back = imp.import_moka_adapters_avt(sd, CFG, SPEC.num_modalities,
+                                        SPEC.rank)
+    np.testing.assert_allclose(
+        np.asarray(back["layers"]["q"]["a"]),
+        np.asarray(state.params["adapters"]["layers"]["q"]["a"]), rtol=1e-6)
+
+
+def test_grouped_indices():
+    lengths = [5, 9, 3, 7, 2, 8, 6, 1]
+    groups = ["avqa", "ave", "avqa", "ave", "avqa", "ave", "avqa", "ave"]
+    order = grouped_indices(lengths, groups, batch_size=2, seed=0)
+    assert sorted(order) == list(range(8))
+    # every consecutive pair comes from one modality group
+    for i in range(0, 8, 2):
+        a, b = order[i], order[i + 1]
+        assert groups[a] == groups[b]
