@@ -67,7 +67,7 @@ def _kernel(x_ref, masks_ref, qmask_ref, keys_ref, a_ref, b_ref, out_ref, *,
                 jnp.float32(spec.attn_weight) * attn)
 
     delta = jax.lax.dot_general(
-        buf.astype(b_ref.dtype), b_ref[...], (((1,), (0,)), ((), ())),
+        buf, b_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     if spec.post_scales is not None:
         post = jnp.zeros((x.shape[0],), jnp.float32)
@@ -112,7 +112,8 @@ def _fused_fwd(x, lora_a, lora_b, modality_masks, question_mask, spec,
         interpret=interpret,
     )(x, modality_masks.transpose(1, 0, 2).astype(jnp.float32),
       question_mask[:, None, :].astype(jnp.float32),
-      keys.astype(x.dtype), lora_a.astype(x.dtype), lora_b.astype(x.dtype))
+      keys.astype(jnp.float32), lora_a.astype(jnp.float32),
+      lora_b.astype(jnp.float32))
     return out[:, :L]
 
 
