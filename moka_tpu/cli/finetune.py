@@ -116,11 +116,17 @@ def main(argv=None):
                       frozen, tcfg, total_steps, full_config=tcfg)
 
     def batches():
+        # every host draws the SAME global order (same seed), then loads and
+        # feeds only its own slice of each global batch -- multi-host data
+        # parallelism without a distributed sampler service
         rng = np.random.default_rng(args.seed)
+        rank, world = jax.process_index(), jax.process_count()
+        per_host = per_step // world
         for _ in range(args.epochs):
             order = rng.permutation(len(ds))
             for i in range(0, len(order) - per_step + 1, per_step):
-                items = [ds[int(j)] for j in order[i:i + per_step]]
+                sl = order[i + rank * per_host: i + (rank + 1) * per_host]
+                items = [ds[int(j)] for j in sl]
                 yield {k: jnp.asarray(v) for k, v in
                        ds.collate(items, pad_to=args.pad_to).items()
                        if not isinstance(v, list)}
