@@ -1,0 +1,107 @@
+"""Minimal batched inference server.
+
+The reference has no serving story (inference is offline JSONL dumps); this
+adds one for deployment: a request queue with micro-batching in front of the
+jitted multimodal prefill+decode path, exposed over stdlib HTTP (POST
+/generate with {"prompt": ..., "image": optional b64} rows).  Generation
+shapes are bucketed (pad_to + fixed max_new_tokens) so the compiled
+executable is reused across requests — no retracing in steady state.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+
+class MicroBatcher:
+    """Collect requests for up to ``max_wait_s`` or ``max_batch`` and run
+    them through ``generate_fn(items) -> list[str]`` on one device pass."""
+
+    def __init__(self, generate_fn: Callable, max_batch: int = 8,
+                 max_wait_s: float = 0.05):
+        self.generate_fn = generate_fn
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.q: queue.Queue = queue.Queue()
+        self._stop = False
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def submit(self, item) -> "queue.Queue":
+        done: queue.Queue = queue.Queue(maxsize=1)
+        self.q.put((item, done))
+        return done
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                first = self.q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            import time
+            deadline = time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            items = [b[0] for b in batch]
+            try:
+                outputs = self.generate_fn(items)
+            except Exception as e:  # surface errors to every waiter
+                outputs = [f"ERROR: {type(e).__name__}: {e}"] * len(items)
+            for (_, done), out in zip(batch, outputs):
+                done.put(out)
+
+    def stop(self):
+        self._stop = True
+
+
+def make_handler(batcher: MicroBatcher):
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/generate":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                req = json.loads(self.rfile.read(length))
+                item = {"prompt": req["prompt"]}
+                if req.get("image"):
+                    from PIL import Image
+                    from moka_tpu.data.benchmarks import _img_from_pil
+                    img = Image.open(io.BytesIO(
+                        base64.b64decode(req["image"])))
+                    item["image"] = _img_from_pil(img)
+                out = batcher.submit(item).get(timeout=300)
+                body = json.dumps({"output": out}).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                self.send_error(400, str(e))
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return Handler
+
+
+def serve(generate_fn: Callable, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 8) -> ThreadingHTTPServer:
+    batcher = MicroBatcher(generate_fn, max_batch=max_batch)
+    server = ThreadingHTTPServer((host, port), make_handler(batcher))
+    server.batcher = batcher
+    return server
