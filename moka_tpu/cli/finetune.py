@@ -39,6 +39,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="fsdp",
                    help="'fsdp' | 'data' | 'd,f,m' explicit axis sizes")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
+                   help="'tiny' = small random-init model for smoke tests")
     return p
 
 
@@ -76,18 +78,33 @@ def main(argv=None):
                         blc_weight=args.blc_weight,
                         dropout_rate=args.lora_dropout)
     tok = load_tokenizer(args.tokenizer_json)
-    cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size, spec=spec)
+    if args.model_preset == "tiny":
+        base = unified.UnifiedConfig.tiny(spec=spec)
+        import dataclasses as _dc
+        cfg = _dc.replace(base, llama=_dc.replace(
+            base.llama, vocab_size=max(tok.vocab_size, base.llama.vocab_size)))
+    else:
+        cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size,
+                                           spec=spec)
 
-    # frozen towers from reference checkpoints
-    frozen = {
-        "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
-                                  cfg.llama),
-        "clip": imp.import_clip(imp.load_torch(args.clip_ckpt), cfg.clip,
-                                dtype=jnp.bfloat16),
-    }
-    beats_sd, beats_cfg = imp.load_torch(args.beats_ckpt)
-    frozen["beats"] = imp.import_beats(
-        beats_sd, imp.beats_config_from_ckpt(beats_cfg), dtype=jnp.bfloat16)
+    # frozen towers from reference checkpoints (random init if absent —
+    # debug/smoke mode)
+    if args.llama_ckpt:
+        frozen = {
+            "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
+                                      cfg.llama),
+            "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
+                                    cfg.clip, dtype=jnp.bfloat16),
+        }
+        beats_sd, beats_cfg = imp.load_torch(args.beats_ckpt)
+        frozen["beats"] = imp.import_beats(
+            beats_sd, imp.beats_config_from_ckpt(beats_cfg),
+            dtype=jnp.bfloat16)
+    else:
+        frozen = unified.init_frozen(jax.random.key(0), cfg,
+                                     dtype=jnp.float32 if
+                                     args.model_preset == "tiny" else
+                                     jnp.bfloat16)
     frozen = shardlib.shard_params(mesh, frozen)
 
     trainable = unified.init_trainable(jax.random.key(args.seed), cfg)
@@ -99,10 +116,17 @@ def main(argv=None):
             trainable[key] = imp.import_projector(
                 sd, getattr(cfg, key), kind=kind)
 
+    nq_v = cfg.vl_projector.num_query_tokens
+    nq_a = cfg.al_projector.num_query_tokens
+    n_frames = 10 if args.model_preset == "7b" else 2
     ds = UnifiedDataset(tok.as_tokenize(), mode="train",
                         avqa_annotation=args.avqa_annotation,
                         ave_annotation=args.ave_annotation,
-                        ave_data_root=args.ave_data_root)
+                        ave_data_root=args.ave_data_root,
+                        video_frame_nums=n_frames,
+                        image_size=cfg.clip.image_size,
+                        n_video_tokens=n_frames * nq_v,
+                        n_audio_tokens=10 * nq_a)  # 10 audio windows always
     per_step = args.global_batch
     steps_per_epoch = max(len(ds) // per_step, 1)
     total_steps = steps_per_epoch * args.epochs

@@ -29,6 +29,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
+    p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
     return p
 
 
@@ -46,17 +47,32 @@ def main(argv=None):
     tok = load_tokenizer(args.tokenizer_json)
     spec = MokaSpec.avt(rank=args.lora_r, blc_weight=args.blc_weight,
                         dropout_rate=0.0)
-    cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size, spec=spec)
+    if args.model_preset == "tiny":
+        import dataclasses as _dc
+        base = unified.UnifiedConfig.tiny(spec=spec)
+        cfg = _dc.replace(base, llama=_dc.replace(
+            base.llama, vocab_size=max(tok.vocab_size,
+                                       base.llama.vocab_size)))
+    else:
+        cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size,
+                                           spec=spec)
 
-    frozen = {
-        "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
-                                  cfg.llama),
-        "clip": imp.import_clip(imp.load_torch(args.clip_ckpt), cfg.clip,
-                                dtype=jnp.bfloat16),
-    }
-    sd, bcfg = imp.load_torch(args.beats_ckpt)
-    frozen["beats"] = imp.import_beats(sd, imp.beats_config_from_ckpt(bcfg),
-                                       dtype=jnp.bfloat16)
+    if args.llama_ckpt:
+        frozen = {
+            "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
+                                      cfg.llama),
+            "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
+                                    cfg.clip, dtype=jnp.bfloat16),
+        }
+        sd, bcfg = imp.load_torch(args.beats_ckpt)
+        frozen["beats"] = imp.import_beats(
+            sd, imp.beats_config_from_ckpt(bcfg), dtype=jnp.bfloat16)
+    else:
+        import jax as _jax
+        frozen = unified.init_frozen(
+            _jax.random.key(0), cfg,
+            dtype=jnp.float32 if args.model_preset == "tiny"
+            else jnp.bfloat16)
 
     trainable = unified.init_trainable(jax.random.key(0), cfg)
     if args.adapter_ckpt:

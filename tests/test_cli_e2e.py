@@ -1,0 +1,69 @@
+"""Full CLI integration: the finetune driver runs end to end on the tiny
+preset with synthetic media + a real tokenizers-lib tokenizer.json, training
+for a few steps and exporting reference-format artifacts."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def tiny_world(tmp_path):
+    # --- toy tokenizer.json (WordLevel) ---
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    words = ("this is a video audio please answer the question how many "
+             "instruments two [INST] [/INST] <<SYS>> you are helpful "
+             "assistant . : ? <answer> </answer>").split()
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok_path = str(tmp_path / "tokenizer.json")
+    tok.save(tok_path)
+
+    # --- synthetic video + 60s wav + avqa annotation ---
+    import cv2
+    from scipy.io import wavfile
+    rng = np.random.default_rng(0)
+    vid = str(tmp_path / "v.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"MJPG"), 5, (32, 32))
+    for _ in range(8):
+        w.write(rng.integers(0, 255, (32, 32, 3), np.uint8))
+    w.release()
+    wav = str(tmp_path / "a.wav")
+    wavfile.write(wav, 16000,
+                  (rng.standard_normal(16000 * 60) * 3000).astype(np.int16))
+    ann = [{"video_id": f"v{i}", "question_id": i,
+            "type": ["Audio", "Counting"], "video_path": vid,
+            "audio_path": wav, "question": "how many instruments ?",
+            "answer": "two", "label": "<answer> two </answer>"}
+           for i in range(4)]
+    ann_path = str(tmp_path / "avqa.json")
+    json.dump(ann, open(ann_path, "w"))
+    return {"tokenizer": tok_path, "annotation": ann_path,
+            "out": str(tmp_path / "run")}
+
+
+def test_finetune_cli_tiny_end_to_end(tiny_world):
+    from moka_tpu.cli.finetune import main
+    main([
+        "--tokenizer-json", tiny_world["tokenizer"],
+        "--avqa-annotation", tiny_world["annotation"],
+        "--output-dir", tiny_world["out"],
+        "--model-preset", "tiny",
+        "--global-batch", "2",
+        "--epochs", "1",
+        "--pad-to", "128",
+        "--learning-rate", "1e-3",
+    ])
+    out = tiny_world["out"]
+    assert os.path.exists(os.path.join(out, "adapter_model.bin"))
+    assert os.path.exists(os.path.join(out, "non_lora_trainables.bin"))
+    assert os.path.exists(os.path.join(out, "saved_config.json"))
+    metrics = [json.loads(l) for l in
+               open(os.path.join(out, "metrics.jsonl"))]
+    assert len(metrics) >= 2
+    assert all(np.isfinite(m["loss"]) for m in metrics)
