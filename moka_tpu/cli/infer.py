@@ -94,7 +94,14 @@ def main(argv=None):
 
     kw = {"avqa_annotation": args.annotation} if args.task == "avqa" else \
          {"ave_annotation": args.annotation, "ave_data_root": args.data_root}
-    ds = UnifiedDataset(tok.as_tokenize(), mode="test", **kw)
+    n_frames = 10 if args.model_preset == "7b" else 2
+    ds = UnifiedDataset(tok.as_tokenize(), mode="test",
+                        video_frame_nums=n_frames,
+                        image_size=cfg.clip.image_size,
+                        n_video_tokens=n_frames *
+                        cfg.vl_projector.num_query_tokens,
+                        n_audio_tokens=10 *
+                        cfg.al_projector.num_query_tokens, **kw)
 
     def generate_fn(items):
         batch = ds.collate(items, pad_to=args.pad_to)
