@@ -132,8 +132,10 @@ class UnifiedDataset:
             "instruction": instruction,
             "output": output + "</s>",
             "task_name": s["task_name"],
-            "meta": {k: s[k] for k in ("vid", "qid", "type", "question")
-                     if k in s},
+            "meta": {**{k: s[k] for k in ("vid", "qid", "question")
+                        if k in s},
+                     **({"question_type": s["type"]} if "type" in s
+                        else {})},
         }
         data["video"] = self._video(s["video_path"])
         data["audio"] = (self._audio_avqa if s["task_name"] == "avqa" else

@@ -67,3 +67,29 @@ def test_finetune_cli_tiny_end_to_end(tiny_world):
                open(os.path.join(out, "metrics.jsonl"))]
     assert len(metrics) >= 2
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+    # --- full lifecycle: reload the exported artifacts through the torch
+    # importers and run the distributed inference driver + scorer ---
+    from moka_tpu.cli.infer import main as infer_main
+    infer_out = os.path.join(out, "infer")
+    infer_main([
+        "--tokenizer-json", tiny_world["tokenizer"],
+        "--annotation", tiny_world["annotation"],
+        "--adapter-ckpt", os.path.join(out, "adapter_model.bin"),
+        "--non-lora-ckpt", os.path.join(out, "non_lora_trainables.bin"),
+        "--output-dir", infer_out,
+        "--model-preset", "tiny",
+        "--task", "avqa",
+        "--batch-size", "2",
+        "--max-new-tokens", "4",
+        "--pad-to", "128",
+    ])
+    shard = os.path.join(infer_out, "result_rank0_avqa.jsonl")
+    rows = [json.loads(l) for l in open(shard)]
+    assert len(rows) == 4
+    assert all("predict" in r and "question_type" in r for r in rows)
+
+    # scorer consumes the rows directly (random model -> 0 parseable is ok)
+    from moka_tpu.eval.scorers.avqa import score_rows
+    out_scores = score_rows(rows)
+    assert "overall" in out_scores
