@@ -116,7 +116,7 @@ class MaskBundle:
 
 def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
-                dropout_rng: Array | None) -> Array:
+                dropout_rng: Array | None, fused: bool = False) -> Array:
     y = jnp.einsum("bld,df->blf", x, base_w)
     if adapters is None or name not in adapters:
         return y
@@ -127,11 +127,16 @@ def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
     rng = None
     if dropout_rng is not None and spec.dropout_rate > 0:
         rng = jax.random.fold_in(dropout_rng, _PROJ_INDEX[name])
+    if fused and rng is None:
+        from moka_tpu.ops.moka_pallas import moka_delta_fused
+        return y + moka_delta_fused(x, a, b, masks.modality, masks.question,
+                                    spec)
     return y + moka_delta(x, a, b, masks.modality, masks.question, spec,
                           dropout_rng=rng)
 
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
+                   use_fused_moka: bool,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
                    attn_mask: Array | None,
@@ -144,7 +149,8 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     hd, H, K = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
 
     proj = functools.partial(_apply_proj, adapters=adapters, spec=spec,
-                             masks=masks, dropout_rng=dropout_rng)
+                             masks=masks, dropout_rng=dropout_rng,
+                             fused=use_fused_moka)
 
     x = rmsnorm(h, layer["attn_norm"], cfg.rms_eps)
     q = proj("q", x=x, base_w=layer["q"]).reshape(b, L, H, hd)
@@ -198,7 +204,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
             remat: bool = False,
             dropout_rng: Array | None = None,
             logits: bool = True,
-            use_flash: bool = False):
+            use_flash: bool = False,
+            use_fused_moka: bool = False):
     """Full decoder forward.
 
     attn_mask: (b, S) valid-key mask over the *attention span* (the current
@@ -232,7 +239,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
             attn_mask = jnp.ones((b, L), jnp.int32)
         bias = None if use_flash else causal_bias(attn_mask, L, L)
 
-    layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash)
+    layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
+                                 use_fused_moka)
     if remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(), policy=None)
