@@ -233,6 +233,8 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, hd), jnp.float32),
         ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qoff, q.reshape(B * H, L, hd), k.reshape(B * KH, S, hd),
       v.reshape(B * KH, S, hd), attn_mask.astype(jnp.int32)[:, None, :])
@@ -284,6 +286,8 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
         out_specs=pl.BlockSpec((1, bq, hd), lambda bh, o, i: (bh, o, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
 
@@ -313,6 +317,8 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
         ],
         scratch_shapes=[pltpu.VMEM((bk, hd), jnp.float32),
                         pltpu.VMEM((bk, hd), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
 

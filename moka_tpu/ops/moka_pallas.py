@@ -114,6 +114,8 @@ def _fused_fwd(x, lora_a, lora_b, modality_masks, question_mask, spec,
         ],
         out_specs=pl.BlockSpec((1, blk, d_out), lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, Lp, d_out), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(x, modality_masks.transpose(1, 0, 2).astype(jnp.float32),
       question_mask[:, None, :].astype(jnp.float32),
