@@ -142,18 +142,26 @@ def main(argv=None):
     def batches():
         # every host draws the SAME global order (same seed), then loads and
         # feeds only its own slice of each global batch -- multi-host data
-        # parallelism without a distributed sampler service
+        # parallelism without a distributed sampler service; video decode +
+        # fbank run in a thread pool overlapping the device step
+        from moka_tpu.data.prefetch import ParallelLoader
         rng = np.random.default_rng(args.seed)
         rank, world = jax.process_index(), jax.process_count()
         per_host = per_step // world
+
+        def collate(items):
+            return {k: jnp.asarray(v) for k, v in
+                    ds.collate(items, pad_to=args.pad_to).items()
+                    if not isinstance(v, list)}
+
+        loader = ParallelLoader(ds, collate, batch_size=per_host)
         for _ in range(args.epochs):
             order = rng.permutation(len(ds))
-            for i in range(0, len(order) - per_step + 1, per_step):
-                sl = order[i + rank * per_host: i + (rank + 1) * per_host]
-                items = [ds[int(j)] for j in sl]
-                yield {k: jnp.asarray(v) for k, v in
-                       ds.collate(items, pad_to=args.pad_to).items()
-                       if not isinstance(v, list)}
+            host_order = [int(j) for i in
+                          range(0, len(order) - per_step + 1, per_step)
+                          for j in order[i + rank * per_host:
+                                         i + (rank + 1) * per_host]]
+            yield from loader.epoch(host_order)
 
     trainer.train(batches())
     trainer.finalize()
