@@ -1,0 +1,72 @@
+"""Decode/serving benchmark: multimodal prefill + greedy decode throughput.
+
+Not the driver metric (that is bench.py's train-step tokens/s); this
+measures the inference path: batched prefill with MokA masks followed by
+text-adapter decode steps with the KV cache (the reference's
+``inference_cut.py`` shape: batch 8, ~1k-token prompts, long generations).
+Prints one JSON line."""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
+         new_tokens: int = 128):
+    import jax
+    import jax.numpy as jnp
+    from bench import _candidates
+    from moka_tpu.eval.decode import greedy_generate
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+
+    cfg, _, _ = _candidates()[cfg_name]
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
+    r1, r2 = jax.random.split(jax.random.key(0))
+    base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    adapters = llama.init_moka_adapters(r2, cfg, spec)
+
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(
+        rng.standard_normal((batch, prompt_len, cfg.dim)), jnp.bfloat16)
+    pmask = jnp.ones((batch, prompt_len), jnp.int32)
+    mod = np.zeros((3, batch, prompt_len), np.float32)
+    mod[0, :, : prompt_len // 2] = 1
+    mod[1, :, prompt_len // 2: 3 * prompt_len // 4] = 1
+    mod[2, :, 3 * prompt_len // 4:] = 1
+    qm = np.zeros((batch, prompt_len), np.float32)
+    qm[:, 2:130] = 1
+    masks = llama.MaskBundle(jnp.asarray(mod), jnp.asarray(qm))
+
+    def run_once():
+        return greedy_generate(
+            base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
+            prompt_mask=pmask, masks=masks, max_new_tokens=new_tokens,
+            eos_id=10 ** 9, pad_id=0)
+
+    toks = run_once()
+    jax.block_until_ready(toks)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        toks = run_once()
+    jax.block_until_ready(toks)
+    dt = (time.perf_counter() - t0) / n
+
+    decode_tps = batch * new_tokens / dt
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(decode_tps, 2),
+        "unit": "tokens/s",
+        "detail": {"config": cfg_name, "batch": batch,
+                   "prompt_len": prompt_len, "new_tokens": new_tokens,
+                   "e2e_s": dt,
+                   "e2e_tokens_per_sec":
+                       batch * (prompt_len + new_tokens) / dt},
+    }))
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or ["llama_3b"]))

@@ -88,3 +88,49 @@ def prefix_cache(prefix: dict, cfg: LlamaConfig, batch: int, max_len: int,
     cache = {"k": k, "v": v, "length": jnp.asarray(n, jnp.int32)}
     prefix_mask = jnp.ones((batch, n), jnp.int32)
     return cache, prefix_mask
+
+
+# ----------------------------------------------------------- p-tuning ----
+
+def init_ptuning_encoder(rng: Array, cfg: LlamaConfig, n_tokens: int,
+                         hidden: int = 128) -> dict:
+    """P-tuning: virtual-token embeddings reparametrized through a 2-layer
+    MLP prompt encoder (reference tuners/p_tuning)."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "virtual": jax.random.normal(k1, (n_tokens, hidden)) * 0.02,
+        "w1": jax.random.normal(k2, (hidden, hidden)) * 0.02,
+        "b1": jnp.zeros((hidden,)),
+        "w2": jax.random.normal(k3, (hidden, cfg.dim)) * 0.02,
+        "b2": jnp.zeros((cfg.dim,)),
+    }
+
+
+def ptuning_prompt(p: dict) -> Array:
+    """-> (n_tokens, dim) soft prompt (use with ``apply_soft_prompt``)."""
+    h = jnp.tanh(p["virtual"] @ p["w1"] + p["b1"])
+    return h @ p["w2"] + p["b2"]
+
+
+# ---------------------------------------------------------- ln-tuning ----
+
+def ln_tuning_split(base: dict) -> tuple[dict, dict]:
+    """LN tuning (reference tuners/ln_tuning): make ONLY the norm scales
+    trainable.  Returns (trainable_norms, frozen_rest); recombine with
+    ``ln_tuning_merge`` inside the loss."""
+    trainable = {
+        "attn_norm": base["layers"]["attn_norm"],
+        "mlp_norm": base["layers"]["mlp_norm"],
+        "final_norm": base["final_norm"],
+    }
+    return trainable, base
+
+
+def ln_tuning_merge(trainable_norms: dict, frozen_base: dict) -> dict:
+    layers = dict(frozen_base["layers"])
+    layers["attn_norm"] = trainable_norms["attn_norm"]
+    layers["mlp_norm"] = trainable_norms["mlp_norm"]
+    out = dict(frozen_base)
+    out["layers"] = layers
+    out["final_norm"] = trainable_norms["final_norm"]
+    return out

@@ -58,3 +58,39 @@ def test_prefix_tuning_changes_logits_and_grads():
     g = jax.grad(lambda p: jnp.sum(forward_with_prefix(p) ** 2))(prefix)
     assert float(jnp.abs(g["k"]).sum()) > 0
     assert float(jnp.abs(g["v"]).sum()) > 0
+
+
+def test_ptuning_prompt_shape_and_grad():
+    from moka_tpu.adapters.prompt import (apply_soft_prompt,
+                                          init_ptuning_encoder,
+                                          ptuning_prompt)
+    base = _base()
+    enc = init_ptuning_encoder(jax.random.key(5), CFG, n_tokens=3)
+    b, L = 2, 6
+    toks = jnp.arange(b * L).reshape(b, L) % 64
+    embeds = jnp.take(base["embed"], toks, axis=0)
+
+    def loss(p):
+        prompt = ptuning_prompt(p)
+        e, _, _, _ = apply_soft_prompt(prompt, embeds)
+        logits, _ = llama.forward(base, CFG, inputs_embeds=e)
+        return jnp.sum(logits ** 2)
+
+    g = jax.grad(loss)(enc)
+    assert all(float(jnp.abs(v).sum()) > 0 for v in jax.tree.leaves(g))
+
+
+def test_ln_tuning_split_merge():
+    from moka_tpu.adapters.prompt import ln_tuning_merge, ln_tuning_split
+    base = _base()
+    norms, frozen = ln_tuning_split(base)
+    toks = jnp.arange(12).reshape(2, 6) % 64
+
+    def loss(n):
+        merged = ln_tuning_merge(n, frozen)
+        logits, _ = llama.forward(merged, CFG, tokens=toks)
+        return jnp.sum(logits ** 2)
+
+    g = jax.grad(loss)(norms)
+    assert float(jnp.abs(g["attn_norm"]).sum()) > 0
+    assert float(jnp.abs(g["final_norm"]).sum()) > 0
