@@ -195,3 +195,63 @@ def vera_linear(x: Array, w: Array, p: dict) -> Array:
     h = jnp.einsum("...d,dr->...r", x, p["frozen_a"]) * p["d"]
     delta = jnp.einsum("...r,rf->...f", h, p["frozen_b"]) * p["b"]
     return jnp.einsum("...d,df->...f", x, w) + delta
+
+
+# --------------------------------------------------------------- AdaLoRA --
+
+@dataclasses.dataclass(frozen=True)
+class AdaLoraSpec:
+    """AdaLoRA (reference tuners/adalora): SVD-parametrized delta
+    ``P diag(lam) Q`` with an orthogonality regularizer and a global rank
+    budget enforced by masking the least-important singular values."""
+    init_rank: int = 12
+    target_rank: int = 4
+    orth_reg_weight: float = 0.5
+
+
+def init_adalora(rng: Array, d_in: int, d_out: int,
+                 spec: AdaLoraSpec) -> dict:
+    k1, k2 = jax.random.split(rng)
+    r = spec.init_rank
+    return {"p": jax.random.normal(k1, (d_in, r)) * 0.02,
+            "lam": jnp.zeros((r,), jnp.float32),
+            "q": jax.random.normal(k2, (r, d_out)) * 0.02,
+            "mask": jnp.ones((r,), jnp.float32)}
+
+
+def adalora_delta(p: dict) -> Array:
+    return (p["p"] * (p["lam"] * p["mask"])) @ p["q"]
+
+
+def adalora_linear(x: Array, w: Array, p: dict) -> Array:
+    return jnp.einsum("...d,df->...f", x, w + adalora_delta(p))
+
+
+def adalora_orth_reg(p: dict) -> Array:
+    """||P^T P - I||_F^2 + ||Q Q^T - I||_F^2 (added to the loss)."""
+    r = p["p"].shape[1]
+    eye = jnp.eye(r)
+    a = p["p"].T @ p["p"] - eye
+    b = p["q"] @ p["q"].T - eye
+    return jnp.sum(a * a) + jnp.sum(b * b)
+
+
+def adalora_importance(p: dict, grads: dict) -> Array:
+    """Sensitivity-based importance of each singular direction:
+    |lam * dL/dlam| (the AdaLoRA scoring signal)."""
+    return jnp.abs(p["lam"] * grads["lam"])
+
+
+def adalora_allocate(importances: list[Array], total_budget: int
+                     ) -> list[Array]:
+    """Global top-k across all layers' singular values -> 0/1 masks."""
+    sizes = [imp.shape[0] for imp in importances]
+    flat = jnp.concatenate(importances)
+    k = min(total_budget, flat.shape[0])
+    thresh = jnp.sort(flat)[-k]
+    masks = []
+    off = 0
+    for n in sizes:
+        masks.append((flat[off:off + n] >= thresh).astype(jnp.float32))
+        off += n
+    return masks

@@ -134,3 +134,29 @@ def test_loha_lokr_vera_zero_init_and_grads():
     for p, fn in ((ph, loha_linear), (pk, lokr_linear), (pv, vera_linear)):
         g = jax.grad(lambda p_: jnp.sum(fn(x, w, p_) ** 2))(p)
         assert sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g)) > 0
+
+
+def test_adalora():
+    from moka_tpu.adapters.peft import (AdaLoraSpec, adalora_allocate,
+                                        adalora_delta, adalora_importance,
+                                        adalora_linear, adalora_orth_reg,
+                                        init_adalora)
+    rng = np.random.default_rng(7)
+    spec = AdaLoraSpec(init_rank=6, target_rank=2)
+    w = jnp.asarray(rng.standard_normal((8, 6)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, 8)), jnp.float32)
+    p = init_adalora(jax.random.key(0), 8, 6, spec)
+    # lam zero-init -> identity
+    np.testing.assert_allclose(np.asarray(adalora_linear(x, w, p)),
+                               np.asarray(x @ w), rtol=1e-5)
+    p = {**p, "lam": jnp.asarray(rng.standard_normal(6), jnp.float32)}
+    assert float(jnp.abs(adalora_delta(p)).sum()) > 0
+    assert float(adalora_orth_reg(p)) > 0
+
+    g = jax.grad(lambda pp: jnp.sum(adalora_linear(x, w, pp) ** 2)
+                 + 0.5 * adalora_orth_reg(pp))(p)
+    imp = adalora_importance(p, g)
+    assert imp.shape == (6,)
+    # budget allocation keeps exactly k directions globally
+    masks = adalora_allocate([imp, imp * 0.5], total_budget=4)
+    assert sum(int(m.sum()) for m in masks) == 4
