@@ -143,8 +143,15 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    cos: Array, sin: Array,
                    cache_k: Array | None, cache_v: Array | None,
                    cache_index: Array | None,
-                   dropout_rng: Array | None):
-    """One decoder block. Returns (h, new_k_cache, new_v_cache)."""
+                   dropout_rng: Array | None,
+                   layer_idx: Array | None = None):
+    """One decoder block. Returns (h, new_k_cache, new_v_cache).
+
+    Cached mode: ``cache_k/v`` are either the per-layer slices (b, S, K, hd)
+    — legacy scan path — or, when ``layer_idx`` is given, the FULL stacked
+    cache (N, b, S, K, hd) updated in place at (layer_idx, :, pos) so a
+    fori_loop carry aliases the buffer instead of copying it every layer
+    (the copy made decode ~3x slower than the HBM bound)."""
     b, L, _ = h.shape
     hd, H, K = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
 
@@ -159,7 +166,19 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
-    if cache_k is not None:
+    if cache_k is not None and layer_idx is not None:
+        # full-cache in-place write + per-layer read
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k[None].astype(cache_k.dtype),
+            (layer_idx, 0, cache_index, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v[None].astype(cache_v.dtype),
+            (layer_idx, 0, cache_index, 0, 0))
+        k_all = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
+                                             keepdims=False)
+        v_all = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
+                                             keepdims=False)
+    elif cache_k is not None:
         # write current k/v into the cache at [cache_index, cache_index+L)
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0))
@@ -250,25 +269,40 @@ def forward(base: dict, cfg: LlamaConfig, *,
     else:
         layer_rngs = None
 
-    xs = {"layer": base["layers"]}
-    if adapters is not None:
-        xs["ad"] = adapters["layers"]
-    if cache is not None:
-        xs["ck"], xs["cv"] = cache["k"], cache["v"]
-    if layer_rngs is not None:
-        xs["rng"] = layer_rngs
-
-    def scan_body(h, x):
-        h, ck, cv = layer_fn(h, x["layer"], x.get("ad"), masks, bias,
-                             attn_mask, cos, sin, x.get("ck"), x.get("cv"),
-                             cache_index, x.get("rng"))
-        return h, (ck, cv)
-
-    h, (new_k, new_v) = jax.lax.scan(scan_body, h, xs)
-
     new_cache = None
     if cache is not None:
+        # fori_loop with the FULL cache as carry: XLA aliases the buffer in
+        # place (a scan would stack fresh per-layer cache copies — GBs of
+        # HBM traffic per decode step)
+        def body(i, carry):
+            h, ck, cv = carry
+            take = functools.partial(jax.lax.dynamic_index_in_dim,
+                                     index=i, axis=0, keepdims=False)
+            layer = jax.tree.map(take, base["layers"])
+            ad = jax.tree.map(take, adapters["layers"]) \
+                if adapters is not None else None
+            rng = take(layer_rngs) if layer_rngs is not None else None
+            h, ck, cv = layer_fn(h, layer, ad, masks, bias, attn_mask, cos,
+                                 sin, ck, cv, cache_index, rng, layer_idx=i)
+            return h, ck, cv
+
+        h, new_k, new_v = jax.lax.fori_loop(
+            0, cfg.n_layers, body, (h, cache["k"], cache["v"]))
         new_cache = {"k": new_k, "v": new_v, "length": cache["length"] + L}
+    else:
+        xs = {"layer": base["layers"]}
+        if adapters is not None:
+            xs["ad"] = adapters["layers"]
+        if layer_rngs is not None:
+            xs["rng"] = layer_rngs
+
+        def scan_body(h, x):
+            h, _, _ = layer_fn(h, x["layer"], x.get("ad"), masks, bias,
+                               attn_mask, cos, sin, None, None, None,
+                               x.get("rng"))
+            return h, None
+
+        h, _ = jax.lax.scan(scan_body, h, xs)
 
     h = rmsnorm(h, base["final_norm"], cfg.rms_eps)
     if logits:
