@@ -46,13 +46,12 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
             prompt_mask=pmask, masks=masks, max_new_tokens=new_tokens,
             eos_id=10 ** 9, pad_id=0)
 
-    toks = run_once()
-    jax.block_until_ready(toks)
+    np.asarray(run_once())  # compile + run (block_until_ready is
+    # unreliable through the axon tunnel; a host transfer is not)
     n = 5
     t0 = time.perf_counter()
     for _ in range(n):
-        toks = run_once()
-    jax.block_until_ready(toks)
+        toks = np.asarray(run_once())
     dt = (time.perf_counter() - t0) / n
 
     decode_tps = batch * new_tokens / dt
