@@ -24,8 +24,19 @@ A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_MFU = 0.35
 
 
+def _enable_compile_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/moka_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
     import jax
+    _enable_compile_cache()
     import jax.numpy as jnp
     from moka_tpu.core.config import TrainConfig
     from moka_tpu.models import llama

@@ -17,7 +17,8 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
          new_tokens: int = 128):
     import jax
     import jax.numpy as jnp
-    from bench import _candidates
+    from bench import _candidates, _enable_compile_cache
+    _enable_compile_cache()
     from moka_tpu.eval.decode import greedy_generate
     from moka_tpu.models import llama
     from moka_tpu.ops.moka import MokaSpec

@@ -50,6 +50,13 @@ class Trainer:
     def __init__(self, loss_fn: Callable, trainable, frozen,
                  cfg: TrainConfig, total_steps: int,
                  full_config=None):
+        try:  # persistent compile cache: restarts resume without recompiling
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.expanduser("~/.cache/moka_jax"))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              10)
+        except Exception:
+            pass
         self.cfg = cfg
         self.frozen = frozen
         self.tx = make_optimizer(cfg, total_steps)
