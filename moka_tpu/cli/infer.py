@@ -30,6 +30,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
+    p.add_argument("--serve", action="store_true",
+                   help="start the micro-batching HTTP server instead of "
+                        "offline JSONL inference")
+    p.add_argument("--port", type=int, default=8000)
     return p
 
 
@@ -91,6 +95,42 @@ def main(argv=None):
         if al:
             trainable["al_projector"] = imp.import_projector(
                 al, cfg.al_projector, kind="audio")
+
+    if args.serve:
+        # serving mode: text(+optional image) prompts through the same model
+        from moka_tpu.eval.server import serve
+        nq = cfg.vl_projector.num_query_tokens
+
+        def generate_texts(items):
+            from moka_tpu.data import assembler as asmb
+            t = tok.as_tokenize()
+            assembled, have_img = [], []
+            for it in items:
+                prompt = it["prompt"]
+                ids = np.asarray(t.encode(prompt), np.int64)
+                labels = np.full(len(ids), -100, np.int64)
+                assembled.append(asmb.assemble_sample(
+                    ids, labels, t.token_to_id, t.pad_id,
+                    n_video_tokens=nq if "image" in it else 0,
+                    n_audio_tokens=0))
+                have_img.append("image" in it)
+            batch = asmb.pad_batch(assembled, t.pad_id,
+                                   pad_to=args.pad_to)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if all(have_img):
+                batch["video"] = jnp.asarray(
+                    np.stack([it["image"] for it in items]))[:, None]
+            toks_out = unified.generate(
+                trainable, frozen, cfg, batch,
+                max_new_tokens=args.max_new_tokens, eos_id=tok.eos_id,
+                pad_id=tok.pad_id)
+            return [tok.decode([x for x in row.tolist() if x != tok.pad_id])
+                    for row in np.asarray(toks_out)]
+
+        server = serve(generate_texts, port=args.port)
+        print(f"serving on :{server.server_address[1]}")
+        server.serve_forever()
+        return
 
     kw = {"avqa_annotation": args.annotation} if args.task == "avqa" else \
          {"ave_annotation": args.annotation, "ave_data_root": args.data_root}
