@@ -35,12 +35,14 @@ def positions_from_mask(attn_mask: Array) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
-                                             "eos_id", "pad_id"))
+                                             "eos_id", "pad_id",
+                                             "use_flash"))
 def greedy_generate(base: dict, adapters: dict | None, *,
                     cfg: LlamaConfig, spec: MokaSpec | None,
                     inputs_embeds: Array, prompt_mask: Array,
                     masks: llama.MaskBundle | None,
-                    max_new_tokens: int, eos_id: int, pad_id: int = 0):
+                    max_new_tokens: int, eos_id: int, pad_id: int = 0,
+                    use_flash: bool = False):
     """Greedy decode (the eval drivers all use greedy generate —
     ``mmbench.py:641``, ``inference_cut.py:66``).
 
@@ -61,7 +63,8 @@ def greedy_generate(base: dict, adapters: dict | None, *,
     logits, cache = llama.forward(
         base, cfg, adapters=adapters, spec=spec,
         inputs_embeds=inputs_embeds, masks=masks,
-        attn_mask=cache_mask, positions=pos, cache=cache)
+        attn_mask=cache_mask, positions=pos, cache=cache,
+        use_flash=use_flash)  # prefill only; single-token steps stay eager
     next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
 
     n_prompt = jnp.sum(prompt_mask, axis=-1)  # (b,) real prompt lengths

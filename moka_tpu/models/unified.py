@@ -112,10 +112,16 @@ def init_trainable(rng: Array, cfg: UnifiedConfig,
 
 
 def encode_modalities(trainable: dict, frozen: dict, cfg: UnifiedConfig,
-                      video: Array | None, audio: Array | None
+                      video: Array | None, audio: Array | None,
+                      question_ids: Array | None = None,
+                      question_text_mask: Array | None = None
                       ) -> tuple[Array | None, Array | None]:
     """video (b, t, 3, H, W) -> (b, t*32, d); audio (b, t, T, 128) fbank ->
-    (b, t*32, d).  Encoders run frozen (stop_gradient); projectors train."""
+    (b, t*32, d).  Encoders run frozen (stop_gradient); projectors train.
+
+    question_ids/question_text_mask: optional BERT-tokenized question for
+    instruction-aware Q-Former projection (the reference supports it but
+    passes None in both live stages — ``unified_arch.py:185,196,212``)."""
     video_tokens = audio_tokens = None
     if video is not None:
         feats = encode_video(frozen["clip"], cfg.clip,
@@ -123,14 +129,18 @@ def encode_modalities(trainable: dict, frozen: dict, cfg: UnifiedConfig,
                              cfg.select_layers)
         last = jax.lax.stop_gradient(feats[-1].astype(jnp.float32))
         video_tokens = project_visual(trainable["vl_projector"],
-                                      cfg.vl_projector, last)
+                                      cfg.vl_projector, last,
+                                      question_ids=question_ids,
+                                      question_mask=question_text_mask)
     if audio is not None:
         feats = encode_audio_segments(
             frozen["beats"], cfg.beats,
             audio.astype(frozen["beats"]["patch"].dtype))
         feats = jax.lax.stop_gradient(feats.astype(jnp.float32))
         audio_tokens = project_audio(trainable["al_projector"],
-                                     cfg.al_projector, feats)
+                                     cfg.al_projector, feats,
+                                     question_ids=question_ids,
+                                     question_mask=question_text_mask)
     return video_tokens, audio_tokens
 
 
@@ -147,7 +157,9 @@ def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
         embeds = jnp.where((batch["ids"] >= base)[..., None], overlay,
                            embeds)
     video_tokens, audio_tokens = encode_modalities(
-        trainable, frozen, cfg, batch.get("video"), batch.get("audio"))
+        trainable, frozen, cfg, batch.get("video"), batch.get("audio"),
+        question_ids=batch.get("qformer_question_ids"),
+        question_text_mask=batch.get("qformer_question_mask"))
     return splice_features(embeds,
                            video_features=video_tokens,
                            video_pos=batch.get("video_pos"),

@@ -156,3 +156,21 @@ def test_stage1_trainable_new_token_embeds():
     g = np.asarray(grads["new_token_embeds"])
     assert np.abs(g[3]).sum() > 0          # used row gets gradient
     assert np.abs(g[5]).sum() == 0         # unused row does not
+
+
+def test_question_conditioned_projection():
+    """Instruction-aware Q-Former path: a question changes the projected
+    tokens (the reference wires it but passes None in both stages)."""
+    r1, r2 = jax.random.split(jax.random.key(11))
+    frozen = unified.init_frozen(r1, CFG, dtype=jnp.float32)
+    trainable = unified.init_trainable(r2, CFG)
+    batch = _make_batch(seed=12)
+    v0 = unified.encode_modalities(trainable, frozen, CFG,
+                                   batch["video"], None)[0]
+    qids = jnp.asarray(np.random.default_rng(0).integers(
+        1, 99, (2, 5)), jnp.int32)
+    qmask = jnp.ones((2, 5), jnp.int32)
+    v1 = unified.encode_modalities(trainable, frozen, CFG, batch["video"],
+                                   None, question_ids=qids,
+                                   question_text_mask=qmask)[0]
+    assert float(jnp.abs(v1 - v0).max()) > 1e-5
