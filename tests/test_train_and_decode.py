@@ -140,3 +140,29 @@ def test_greedy_matches_stepwise_forward():
                            axis=0)], axis=1)
     want = np.stack(want, axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_generate_matches_single_device():
+    """Greedy generation with the frozen base FSDP+TP-sharded produces the
+    same tokens as unsharded — the whole decode loop (prefill, cache
+    updates, argmax) is sharding-transparent."""
+    frozen, trainable = _setup(seed=5)
+    b, L, new = 2, 12, 5
+    rng = np.random.default_rng(3)
+    embeds = jnp.asarray(rng.standard_normal((b, L, CFG.dim)).astype(np.float32))
+    pmask = jnp.ones((b, L), jnp.int32)
+
+    want = np.asarray(greedy_generate(
+        frozen, trainable["adapters"], cfg=CFG, spec=SPEC,
+        inputs_embeds=embeds, prompt_mask=pmask, masks=None,
+        max_new_tokens=new, eos_id=10 ** 6, pad_id=0))
+
+    mesh = meshlib.make_mesh(MeshConfig(data=1, fsdp=4, model=2))
+    frozen_sh = shardlib.shard_params(mesh, frozen)
+    ad_sh = jax.device_put(trainable["adapters"], NamedSharding(mesh, P()))
+    got = np.asarray(greedy_generate(
+        frozen_sh, ad_sh, cfg=CFG, spec=SPEC,
+        inputs_embeds=jax.device_put(embeds, NamedSharding(mesh, P())),
+        prompt_mask=jax.device_put(pmask, NamedSharding(mesh, P())),
+        masks=None, max_new_tokens=new, eos_id=10 ** 6, pad_id=0))
+    np.testing.assert_array_equal(got, want)
