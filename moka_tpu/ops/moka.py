@@ -132,7 +132,7 @@ def rank_space_cross_attention(q: Array, keys: Array, question_mask: Array,
     """
     scores = jnp.einsum("blr,bkr->blk", q, keys,
                         preferred_element_type=jnp.float32,
-                        precision="highest")
+                       precision="highest")
     scores = scores / jnp.sqrt(jnp.float32(dk))
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores.dtype)
     scores = jnp.where(question_mask[:, None, :] > 0, scores, neg)
@@ -175,7 +175,7 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
     # modalities, masked afterwards.  (M, b, L, r)
     a_all = jnp.einsum("bld,mdr->mblr", x_d, lora_a,
                        preferred_element_type=jnp.float32,
-                        precision="highest")
+                       precision="highest")
     a_all = a_all * modality_masks[..., None] * jnp.float32(spec.pre_scale)
 
     keys = a_all[0] * question_mask[..., None]  # (b, L, r)
@@ -189,7 +189,7 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
 
     delta = jnp.einsum("blr,rd->bld", buffer, lora_b,
                        preferred_element_type=jnp.float32,
-                        precision="highest")
+                       precision="highest")
     if spec.post_scales is not None:
         post = jnp.asarray(spec.post_scales, dtype=delta.dtype)
         token_scale = jnp.einsum("mbl,m->bl", modality_masks.astype(delta.dtype),
@@ -208,10 +208,10 @@ def lora_delta(x: Array, lora_a0: Array, lora_b: Array, scale: float) -> Array:
     """
     a = jnp.einsum("...d,dr->...r", x, lora_a0,
                    preferred_element_type=jnp.float32,
-                        precision="highest")
+                       precision="highest")
     delta = jnp.einsum("...r,rd->...d", a * jnp.float32(scale), lora_b,
                        preferred_element_type=jnp.float32,
-                        precision="highest")
+                       precision="highest")
     return delta.astype(x.dtype)
 
 
