@@ -14,7 +14,7 @@ import numpy as np
 
 
 def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
-         new_tokens: int = 128):
+         new_tokens: int = 128, paged: bool = False):
     import jax
     import jax.numpy as jnp
     from bench import _candidates, _enable_compile_cache
@@ -45,7 +45,7 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
         return greedy_generate(
             base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
             prompt_mask=pmask, masks=masks, max_new_tokens=new_tokens,
-            eos_id=10 ** 9, pad_id=0)
+            eos_id=10 ** 9, pad_id=0, paged_decode=paged)
 
     np.asarray(run_once())  # compile + run (block_until_ready is
     # unreliable through the axon tunnel; a host transfer is not)
@@ -62,6 +62,7 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
         "unit": "tokens/s",
         "detail": {"config": cfg_name, "batch": batch,
                    "prompt_len": prompt_len, "new_tokens": new_tokens,
+                   "paged_decode": paged,
                    "e2e_s": dt,
                    "e2e_tokens_per_sec":
                        batch * (prompt_len + new_tokens) / dt},
@@ -69,4 +70,5 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["llama_3b"]))
+    main(sys.argv[1] if len(sys.argv) > 1 else "llama_3b",
+         paged="--paged" in sys.argv)

@@ -36,13 +36,13 @@ def positions_from_mask(attn_mask: Array) -> Array:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
                                              "eos_id", "pad_id",
-                                             "use_flash"))
+                                             "use_flash", "paged_decode"))
 def greedy_generate(base: dict, adapters: dict | None, *,
                     cfg: LlamaConfig, spec: MokaSpec | None,
                     inputs_embeds: Array, prompt_mask: Array,
                     masks: llama.MaskBundle | None,
                     max_new_tokens: int, eos_id: int, pad_id: int = 0,
-                    use_flash: bool = False):
+                    use_flash: bool = False, paged_decode: bool = False):
     """Greedy decode (the eval drivers all use greedy generate —
     ``mmbench.py:641``, ``inference_cut.py:66``).
 
@@ -77,7 +77,8 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         logits, cache = llama.forward(
             base, cfg, adapters=adapters, spec=spec,
             inputs_embeds=embeds, masks=None,
-            attn_mask=cache_mask, positions=step_pos, cache=cache)
+            attn_mask=cache_mask, positions=step_pos, cache=cache,
+            paged_decode=paged_decode)
         new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         out = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)

@@ -136,7 +136,7 @@ def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
 
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
-                   use_fused_moka: bool,
+                   use_fused_moka: bool, paged_decode: bool,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
                    attn_mask: Array | None,
@@ -174,6 +174,19 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v[None].astype(cache_v.dtype),
             (layer_idx, 0, cache_index, 0, 0))
+        if paged_decode and L == 1:
+            # length-aware Pallas kernel: reads only valid cache blocks
+            from moka_tpu.ops.paged_decode import paged_decode_attention
+            attn = paged_decode_attention(
+                q, cache_k, cache_v, attn_mask, layer_idx,
+                cache_index + 1).reshape(b, L, H * hd)
+            h = h + proj("o", x=attn, base_w=layer["o"])
+            x = rmsnorm(h, layer["mlp_norm"], cfg.rms_eps)
+            gate = proj("gate", x=x, base_w=layer["gate"])
+            up = proj("up", x=x, base_w=layer["up"])
+            act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
+            h = h + proj("down", x=act, base_w=layer["down"])
+            return h, cache_k, cache_v
         k_all = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
                                              keepdims=False)
         v_all = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
@@ -224,7 +237,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
             dropout_rng: Array | None = None,
             logits: bool = True,
             use_flash: bool = False,
-            use_fused_moka: bool = False):
+            use_fused_moka: bool = False,
+            paged_decode: bool = False):
     """Full decoder forward.
 
     attn_mask: (b, S) valid-key mask over the *attention span* (the current
@@ -259,7 +273,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
         bias = None if use_flash else causal_bias(attn_mask, L, L)
 
     layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
-                                 use_fused_moka)
+                                 use_fused_moka, paged_decode)
     if remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(), policy=None)
