@@ -2,17 +2,20 @@
 
 The decode hot loop attends one new token against the KV cache.  The plain
 path reads the ENTIRE static cache every layer every step; this kernel
-follows the paged-attention recipe (one manual DMA per KV block, skipped
-entirely for blocks beyond the current sequence position) so HBM traffic
+follows the paged-attention recipe — one manual DMA per KV block, skipped
+entirely for blocks beyond the current sequence position — so HBM traffic
 scales with the *valid* cache prefix, not the allocated maximum.
 
 Differences from full paged attention: the cache is contiguous
 (layer-stacked (N, B, S, K, hd)) rather than a page table — the serving
-layer here allocates one cache per micro-batch, so the page-indirection
-layer is unnecessary; what matters on TPU is (a) not loading invalid
-blocks and (b) reading the cache straight from HBM without materializing a
-per-layer copy.  The layer index and current length arrive as scalar
-prefetch so one kernel instance serves every layer of the decode fori_loop.
+layer here allocates one cache per micro-batch, so page indirection is
+unnecessary; what matters on TPU is (a) not loading invalid blocks and
+(b) reading the cache straight from HBM without materializing a per-layer
+copy.  The layer index and current length arrive as scalar prefetch so one
+kernel instance serves every layer of the decode fori_loop.  Each DMA moves
+a CONTIGUOUS (block, K, hd) slab (all kv heads at once — Mosaic rejects
+head-strided cache slices) and the kernel does the per-head attention as a
+batched matmul in VMEM.
 
 Forward-only (decode never differentiates).
 """
@@ -30,11 +33,9 @@ NEG_INF = -1e30
 
 
 def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
-            m_scr, l_scr, acc_scr, k_buf, v_buf, sem, *, block_k, hd,
-            scale):
+            m_scr, l_scr, acc_scr, k_buf, v_buf, sem, *, block_k, scale):
     b = pl.program_id(0)
-    kh = pl.program_id(1)
-    i = pl.program_id(2)
+    i = pl.program_id(1)
     layer = layer_ref[0]
     length = length_ref[0]
 
@@ -43,47 +44,51 @@ def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        o_ref[0] = jnp.zeros_like(o_ref[0])
 
     @pl.when(i * block_k < length)
     def _():
-        # manual DMA of just this block from the stacked HBM cache
+        # one contiguous DMA per block: (block, K, hd) slab from the stacked
+        # HBM cache
         ck = pltpu.make_async_copy(
-            k_hbm.at[layer, b, pl.ds(i * block_k, block_k), kh], k_buf,
+            k_hbm.at[layer, b, pl.ds(i * block_k, block_k)], k_buf,
             sem.at[0])
         cv = pltpu.make_async_copy(
-            v_hbm.at[layer, b, pl.ds(i * block_k, block_k), kh], v_buf,
+            v_hbm.at[layer, b, pl.ds(i * block_k, block_k)], v_buf,
             sem.at[1])
         ck.start()
         cv.start()
         ck.wait()
 
-        q = q_ref[0, 0]                              # (G, hd)
-        k = k_buf[...]                               # (bk, hd)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        q = q_ref[0]                                  # (KH, G, hd)
+        k = k_buf[...]                                # (bk, KH, hd)
+        # batched per-kv-head scores: (KH, G, bk)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32) * scale
         k_ids = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)[0]
         ok = (k_ids < length) & (mask_ref[0, 0] > 0)
-        s = jnp.where(ok[None, :], s, NEG_INF)
+        s = jnp.where(ok[None, None, :], s, NEG_INF)
 
-        m_prev = m_scr[:, 0]
-        l_prev = l_scr[:, 0]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        m_prev = m_scr[...]                           # (KH, G)
+        l_prev = l_scr[...]
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=2))
         alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
-        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        p = jnp.exp(s - m_cur[..., None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=2)
         cv.wait()
-        v = v_buf[...]
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:, 0] = m_cur
-        l_scr[:, 0] = l_cur
-        # write normalized output every processed block: later skipped
-        # blocks leave the final value in place
+        v = v_buf[...]                                # (bk, KH, hd)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32)       # (KH, G, hd)
+        acc_scr[...] = acc_scr[...] * alpha[..., None] + pv
+        m_scr[...] = m_cur
+        l_scr[...] = l_cur
+        # normalized write every processed block: skipped tail blocks leave
+        # the final value in place
         safe = jnp.where(l_cur == 0.0, 1.0, l_cur)
-        o_ref[0, 0] = (acc_scr[:] / safe[:, None]).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[...] / safe[..., None]).astype(o_ref.dtype)
 
 
 def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
@@ -107,26 +112,25 @@ def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, KH, nb),
+        grid=(B, nb),
         in_specs=[
-            pl.BlockSpec((1, 1, G, hd), lambda b, kh, i, *_: (b, kh, 0, 0)),
-            pl.BlockSpec((1, 1, bk), lambda b, kh, i, *_: (b, 0, i)),
+            pl.BlockSpec((1, KH, G, hd), lambda b, i, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, bk), lambda b, i, *_: (b, 0, i)),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, G, hd),
-                               lambda b, kh, i, *_: (b, kh, 0, 0)),
+        out_specs=pl.BlockSpec((1, KH, G, hd), lambda b, i, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),
-            pltpu.VMEM((G, hd), jnp.float32),
-            pltpu.VMEM((bk, hd), cache_k.dtype),
-            pltpu.VMEM((bk, hd), cache_v.dtype),
+            pltpu.VMEM((KH, G), jnp.float32),
+            pltpu.VMEM((KH, G), jnp.float32),
+            pltpu.VMEM((KH, G, hd), jnp.float32),
+            pltpu.VMEM((bk, KH, hd), cache_k.dtype),
+            pltpu.VMEM((bk, KH, hd), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=bk, hd=hd, scale=scale),
+        functools.partial(_kernel, block_k=bk, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, hd), q.dtype),
         interpret=interpret,
