@@ -61,10 +61,11 @@ def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
         ck.wait()
 
         q = q_ref[0]                                  # (KH, G, hd)
-        k = k_buf[...]                                # (bk, KH, hd)
-        # batched per-kv-head scores: (KH, G, bk)
+        # (bk, KH, hd) -> (KH, bk, hd): Mosaic batched dots need batch dims
+        # in the same operand position
+        k = jnp.transpose(k_buf[...], (1, 0, 2))
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (1,))),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
         k_ids = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)[0]
@@ -78,9 +79,9 @@ def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
         p = jnp.exp(s - m_cur[..., None])
         l_cur = l_prev * alpha + jnp.sum(p, axis=2)
         cv.wait()
-        v = v_buf[...]                                # (bk, KH, hd)
+        v = jnp.transpose(v_buf[...], (1, 0, 2))      # (KH, bk, hd)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (0,)), ((0,), (1,))),
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)       # (KH, G, hd)
         acc_scr[...] = acc_scr[...] * alpha[..., None] + pv
         m_scr[...] = m_cur
