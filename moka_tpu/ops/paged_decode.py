@@ -10,12 +10,15 @@ Differences from full paged attention: the cache is contiguous
 (layer-stacked (N, B, S, K, hd)) rather than a page table — the serving
 layer here allocates one cache per micro-batch, so page indirection is
 unnecessary; what matters on TPU is (a) not loading invalid blocks and
-(b) reading the cache straight from HBM without materializing a per-layer
-copy.  The layer index and current length arrive as scalar prefetch so one
-kernel instance serves every layer of the decode fori_loop.  Each DMA moves
-a CONTIGUOUS (block, K, hd) slab (all kv heads at once — Mosaic rejects
-head-strided cache slices) and the kernel does the per-head attention as a
-batched matmul in VMEM.
+(b) reading the cache straight from HBM without a per-layer copy.  The
+layer index and current length arrive as scalar prefetch so one kernel
+instance serves every layer of the decode fori_loop.
+
+DMA layout: Mosaic requires the slab's second-to-last dim 8-aligned, and
+K (e.g. 20 kv heads) is not — so the cache is viewed as (N, B, S, K*hd)
+(free reshape of contiguous trailing dims), each block moves as one
+contiguous (block, K*hd) slab, and the kernel slices per-head lanes
+(kh*hd:(kh+1)*hd, lane-aligned at hd=128) in a static head loop.
 
 Forward-only (decode never differentiates).
 """
@@ -33,7 +36,8 @@ NEG_INF = -1e30
 
 
 def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
-            m_scr, l_scr, acc_scr, k_buf, v_buf, sem, *, block_k, scale):
+            m_scr, l_scr, acc_scr, k_buf, v_buf, sem, *, block_k, n_kv, hd,
+            scale):
     b = pl.program_id(0)
     i = pl.program_id(1)
     layer = layer_ref[0]
@@ -48,8 +52,7 @@ def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
 
     @pl.when(i * block_k < length)
     def _():
-        # one contiguous DMA per block: (block, K, hd) slab from the stacked
-        # HBM cache
+        # one contiguous DMA per block: (block, K*hd) slab
         ck = pltpu.make_async_copy(
             k_hbm.at[layer, b, pl.ds(i * block_k, block_k)], k_buf,
             sem.at[0])
@@ -58,38 +61,39 @@ def _kernel(layer_ref, length_ref, q_ref, mask_ref, k_hbm, v_hbm, o_ref,
             sem.at[1])
         ck.start()
         cv.start()
-        ck.wait()
 
-        q = q_ref[0]                                  # (KH, G, hd)
-        # (bk, KH, hd) -> (KH, bk, hd): Mosaic batched dots need batch dims
-        # in the same operand position
-        k = jnp.transpose(k_buf[...], (1, 0, 2))
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale
         k_ids = i * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)[0]
         ok = (k_ids < length) & (mask_ref[0, 0] > 0)
-        s = jnp.where(ok[None, None, :], s, NEG_INF)
 
-        m_prev = m_scr[...]                           # (KH, G)
-        l_prev = l_scr[...]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=2))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[..., None])
-        l_cur = l_prev * alpha + jnp.sum(p, axis=2)
+        ck.wait()
         cv.wait()
-        v = jnp.transpose(v_buf[...], (1, 0, 2))      # (KH, bk, hd)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)       # (KH, G, hd)
-        acc_scr[...] = acc_scr[...] * alpha[..., None] + pv
-        m_scr[...] = m_cur
-        l_scr[...] = l_cur
-        # normalized write every processed block: skipped tail blocks leave
-        # the final value in place
-        safe = jnp.where(l_cur == 0.0, 1.0, l_cur)
-        o_ref[0] = (acc_scr[...] / safe[..., None]).astype(o_ref.dtype)
+        for kh in range(n_kv):  # static head loop; lane-aligned slices
+            q_h = q_ref[0, kh]                              # (G, hd)
+            k_h = k_buf[:, kh * hd:(kh + 1) * hd]           # (bk, hd)
+            s = jax.lax.dot_general(
+                q_h, k_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            s = jnp.where(ok[None, :], s, NEG_INF)
+
+            m_prev = m_scr[kh]                              # (G,)
+            l_prev = l_scr[kh]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_prev - m_cur)
+            p = jnp.exp(s - m_cur[:, None])
+            l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+            v_h = v_buf[:, kh * hd:(kh + 1) * hd]
+            pv = jax.lax.dot_general(
+                p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # (G, hd)
+            acc = acc_scr[kh] * alpha[:, None] + pv
+            acc_scr[kh] = acc
+            m_scr[kh] = m_cur
+            l_scr[kh] = l_cur
+            # normalized write every processed block: skipped tail blocks
+            # leave the final value in place
+            safe = jnp.where(l_cur == 0.0, 1.0, l_cur)
+            o_ref[0, kh] = (acc / safe[:, None]).astype(o_ref.dtype)
 
 
 def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
@@ -108,6 +112,8 @@ def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
     scale = 1.0 / (hd ** 0.5)
 
     qg = q[:, 0].reshape(B, KH, G, hd)
+    k_flat = cache_k.reshape(N, B, S, KH * hd)
+    v_flat = cache_v.reshape(N, B, S, KH * hd)
     scalars = (jnp.asarray(layer_idx, jnp.int32).reshape(1),
                jnp.asarray(length, jnp.int32).reshape(1))
 
@@ -125,16 +131,15 @@ def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
             pltpu.VMEM((KH, G), jnp.float32),
             pltpu.VMEM((KH, G), jnp.float32),
             pltpu.VMEM((KH, G, hd), jnp.float32),
-            pltpu.VMEM((bk, KH, hd), cache_k.dtype),
-            pltpu.VMEM((bk, KH, hd), cache_v.dtype),
+            pltpu.VMEM((bk, KH * hd), cache_k.dtype),
+            pltpu.VMEM((bk, KH * hd), cache_v.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_k=bk, scale=scale),
+        functools.partial(_kernel, block_k=bk, n_kv=KH, hd=hd, scale=scale),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KH, G, hd), q.dtype),
         interpret=interpret,
-    )(*scalars, qg, attn_mask.astype(jnp.int32)[:, None, :], cache_k,
-      cache_v)
+    )(*scalars, qg, attn_mask.astype(jnp.int32)[:, None, :], k_flat, v_flat)
     return out.reshape(B, 1, H, hd)
