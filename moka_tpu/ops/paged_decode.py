@@ -21,6 +21,13 @@ contiguous (block, K*hd) slab, and the kernel slices per-head lanes
 (kh*hd:(kh+1)*hd, lane-aligned at hd=128) in a static head loop.
 
 Forward-only (decode never differentiates).
+
+STATUS: correct (parity + poisoned-tail tests) but EXPERIMENTAL — measured
+12x slower than the in-place fori_loop eager path at 3B/b8/S1024 on v5e:
+the single-buffered per-block DMA serializes against compute and the
+per-head G=1 matmuls run on the VPU.  Needs double buffering (guide
+pattern) and head-packed tiles before it can win; decode defaults keep
+``paged_decode=False``.
 """
 
 from __future__ import annotations
