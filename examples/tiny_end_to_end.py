@@ -16,6 +16,8 @@ import tempfile
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def build_world(root):
     from tokenizers import Tokenizer, models, pre_tokenizers
