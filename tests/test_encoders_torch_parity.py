@@ -204,3 +204,40 @@ def test_beats_parity(reference_beats):
     got = beats_encode(params, cfg, jnp.asarray(fbank))
     np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=3e-4,
                                atol=3e-4)
+
+
+def test_beats_parity_plain_config(reference_beats):
+    """Config-flag coverage: no deep-norm, no relative bias, no gru gate
+    (the flags are ckpt-driven, multimodal_encoder.py:178-182)."""
+    BEATs, RefCfg = reference_beats
+    ref_cfg = RefCfg({
+        "input_patch_size": 16, "embed_dim": 24, "encoder_embed_dim": 48,
+        "encoder_layers": 2, "encoder_ffn_embed_dim": 96,
+        "encoder_attention_heads": 4, "deep_norm": False,
+        "layer_norm_first": False, "relative_position_embedding": False,
+        "gru_rel_pos": False, "conv_pos": 16, "conv_pos_groups": 4,
+        "encoder_layerdrop": 0.0, "dropout": 0.0, "attention_dropout": 0.0,
+        "dropout_input": 0.0,
+    })
+    torch.manual_seed(2)
+    model = BEATs(ref_cfg).eval()
+    cfg = BeatsConfig(input_patch_size=16, embed_dim=24,
+                      encoder_embed_dim=48, encoder_layers=2,
+                      encoder_ffn_dim=96, encoder_heads=4, deep_norm=False,
+                      relative_position_embedding=False, gru_rel_pos=False,
+                      conv_pos=16, conv_pos_groups=4)
+    sd = _sd(model)
+    # no relative bias table in this config; importer needs a placeholder
+    sd.setdefault("encoder.layers.0.self_attn.relative_attention_bias.weight",
+                  np.zeros((cfg.num_buckets, cfg.encoder_heads), np.float32))
+    params = imp.import_beats(sd, cfg)
+    rng = np.random.default_rng(5)
+    fbank = rng.standard_normal((2, 64, 128)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = model.extract_features(
+            torch.from_numpy(fbank),
+            padding_mask=torch.zeros(2, 64, dtype=torch.bool),
+            feature_only=True)
+    got = beats_encode(params, cfg, jnp.asarray(fbank))
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=3e-4,
+                               atol=3e-4)
