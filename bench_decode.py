@@ -45,7 +45,8 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
         return greedy_generate(
             base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
             prompt_mask=pmask, masks=masks, max_new_tokens=new_tokens,
-            eos_id=10 ** 9, pad_id=0, paged_decode=paged)
+            eos_id=10 ** 9, pad_id=0, paged_decode=paged,
+            use_flash=True)
 
     np.asarray(run_once())  # compile + run (block_until_ready is
     # unreliable through the axon tunnel; a host transfer is not)
