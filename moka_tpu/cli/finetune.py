@@ -143,9 +143,12 @@ def main(argv=None):
         # every host draws the SAME global order (same seed), then loads and
         # feeds only its own slice of each global batch -- multi-host data
         # parallelism without a distributed sampler service; video decode +
-        # fbank run in a thread pool overlapping the device step
+        # fbank run in a thread pool overlapping the device step.
+        # Batches are task-grouped (the UnifiedTrainer sampler,
+        # trainer.py:91-160): AVQA and AVE have different audio segment
+        # shapes, so a batch must be single-task.
         from moka_tpu.data.prefetch import ParallelLoader
-        rng = np.random.default_rng(args.seed)
+        from moka_tpu.train.trainer import grouped_indices
         rank, world = jax.process_index(), jax.process_count()
         per_host = per_step // world
 
@@ -154,9 +157,13 @@ def main(argv=None):
                     ds.collate(items, pad_to=args.pad_to).items()
                     if not isinstance(v, list)}
 
+        group_key = [s["task_name"] for s in ds.samples]
+        lengths = [len(s["instruction"]) for s in ds.samples]
         loader = ParallelLoader(ds, collate, batch_size=per_host)
-        for _ in range(args.epochs):
-            order = rng.permutation(len(ds))
+        for epoch in range(args.epochs):
+            order = grouped_indices(lengths, group_key, per_step,
+                                    seed=args.seed + epoch,
+                                    drop_remainder=True)
             host_order = [int(j) for i in
                           range(0, len(order) - per_step + 1, per_step)
                           for j in order[i + rank * per_host:

@@ -27,10 +27,15 @@ from moka_tpu.utils.logging import MetricsLogger, param_report
 
 
 def grouped_indices(lengths: list[int], group_key: list,
-                    batch_size: int, seed: int) -> list[int]:
+                    batch_size: int, seed: int,
+                    drop_remainder: bool = False) -> list[int]:
     """Modality/length-grouped shuffle (UnifiedTrainer sampler,
     ``trainer.py:91-160``): shuffle within modality groups, emit batches of
-    same-group samples in random batch order."""
+    same-group samples in random batch order.
+
+    drop_remainder=True drops each group's ragged tail so every consecutive
+    ``batch_size`` chunk of the flattened order is single-group (required
+    when the caller re-chunks the flat list)."""
     rng = np.random.default_rng(seed)
     groups: dict = {}
     for i, key in enumerate(group_key):
@@ -40,8 +45,11 @@ def grouped_indices(lengths: list[int], group_key: list,
         idxs = list(rng.permutation(idxs))
         # length-sorted megabatches for padding efficiency
         idxs.sort(key=lambda i: lengths[i])
-        batches.extend([idxs[i:i + batch_size]
-                        for i in range(0, len(idxs), batch_size)])
+        group_batches = [idxs[i:i + batch_size]
+                         for i in range(0, len(idxs), batch_size)]
+        if drop_remainder and group_batches and                 len(group_batches[-1]) < batch_size:
+            group_batches.pop()
+        batches.extend(group_batches)
     rng.shuffle(batches)
     return [i for b in batches for i in b]
 

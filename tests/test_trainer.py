@@ -74,3 +74,13 @@ def test_grouped_indices():
     for i in range(0, 8, 2):
         a, b = order[i], order[i + 1]
         assert groups[a] == groups[b]
+
+
+def test_grouped_indices_drop_remainder_keeps_chunks_pure():
+    lengths = list(range(11))
+    groups = ["a"] * 5 + ["b"] * 6
+    order = grouped_indices(lengths, groups, batch_size=2, seed=1,
+                            drop_remainder=True)
+    assert len(order) % 2 == 0
+    for i in range(0, len(order), 2):
+        assert groups[order[i]] == groups[order[i + 1]]
