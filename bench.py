@@ -34,7 +34,8 @@ def _enable_compile_cache():
         pass
 
 
-def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
+def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
+        quantize=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -48,6 +49,11 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
     spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
     r1, r2 = jax.random.split(jax.random.key(0))
     frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    if quantize:
+        # int8 weight-only frozen base (QLoRA-style): the 7B flagship fits
+        # one 16 GB v5e chip this way
+        from moka_tpu.ops.quant import quantize_llama_base
+        frozen = quantize_llama_base(frozen)
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
 
     tx = make_optimizer(TrainConfig(), total_steps=1000)
@@ -86,7 +92,11 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
     dt = (time.perf_counter() - t0) / n_steps
 
     tokens_per_sec = b * L / dt
-    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen))
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen)
+                   if x.dtype != np.float32 or x.ndim > 1)
+    if quantize:  # count int8 weights once, not their fp32 scales
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen)
+                       if x.ndim >= 2 and "float32" not in str(x.dtype))
     flops_per_token = 6 * n_params
     device = jax.devices()[0]
     return {
@@ -98,6 +108,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True):
         "model_flops_per_sec": tokens_per_sec * flops_per_token,
         "device": str(device),
         "use_flash": use_flash, "fused_loss": fused_loss,
+        "quantized_base": quantize,
     }
 
 
@@ -107,18 +118,20 @@ def _candidates():
     # tunneled chip OOMs even at batch 1); 7B+ runs sharded via the mesh.
     from moka_tpu.core.config import LlamaConfig
     return {
+        "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
+                           True),
         "llama_3b": (LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
-                                 intermediate=6912), 4, 1024),
+                                 intermediate=6912), 4, 1024, False),
         "llama_1b": (LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
                                  n_heads=16, n_kv_heads=16,
-                                 intermediate=5504), 8, 1024),
+                                 intermediate=5504), 8, 1024, False),
     }
 
 
 def run_one(name: str) -> None:
-    cfg, b, L = _candidates()[name]
-    print(json.dumps(run(name, cfg, b, L)))
+    cfg, b, L, quant = _candidates()[name]
+    print(json.dumps(run(name, cfg, b, L, quantize=quant)))
 
 
 def main():

@@ -114,10 +114,11 @@ class MaskBundle:
     question: Array
 
 
-def _apply_proj(name: str, x: Array, base_w: Array, adapters: dict | None,
+def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
                 dropout_rng: Array | None, fused: bool = False) -> Array:
-    y = jnp.einsum("bld,df->blf", x, base_w)
+    from moka_tpu.ops.quant import qmatmul
+    y = qmatmul(x, base_w)
     if adapters is None or name not in adapters:
         return y
     a, b = adapters[name]["a"], adapters[name]["b"]

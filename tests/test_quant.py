@@ -1,0 +1,63 @@
+"""Int8 weight-only quantized base: quantization error bounds, forward
+closeness, and adapter training on a quantized base."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moka_tpu.core.config import LlamaConfig, TrainConfig
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+from moka_tpu.ops.quant import (dequantize, quantize_int8,
+                                quantize_llama_base, quantized_bytes)
+from moka_tpu.train.objectives import make_llama_moka_loss
+from moka_tpu.train.optim import make_optimizer
+from moka_tpu.train.step import init_train_state, make_train_step
+
+CFG = LlamaConfig.tiny(vocab_size=64)
+SPEC = MokaSpec.avt(rank=4, dropout_rate=0.0)
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 16, 8)) * 0.05, jnp.float32)
+    qw = quantize_int8(w)
+    back = dequantize(qw, dtype=jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    # per-channel symmetric int8: max error <= scale/2 = max|w|/254
+    assert err <= float(np.abs(np.asarray(w)).max()) / 127 + 1e-7
+
+
+def test_quantized_base_forward_close_and_smaller():
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    qbase = quantize_llama_base(base)
+    assert quantized_bytes(qbase) < 0.55 * quantized_bytes(base)
+
+    toks = jnp.arange(32).reshape(2, 16) % 64
+    full, _ = llama.forward(base, CFG, tokens=toks)
+    quant, _ = llama.forward(qbase, CFG, tokens=toks)
+    # logits close in distribution: top-1 agreement on most positions
+    agree = np.mean(np.asarray(jnp.argmax(full, -1) == jnp.argmax(quant, -1)))
+    assert agree > 0.9, agree
+    rel = float(jnp.abs(full - quant).mean() / jnp.abs(full).mean())
+    assert rel < 0.05, rel
+
+
+def test_adapter_training_on_quantized_base():
+    rng = np.random.default_rng(0)
+    base = llama.init_llama_params(jax.random.key(1), CFG, dtype=jnp.float32)
+    qbase = quantize_llama_base(base)
+    trainable = {"adapters": llama.init_moka_adapters(jax.random.key(2),
+                                                      CFG, SPEC)}
+    toks = jnp.asarray(rng.integers(4, 64, (2, 16)), jnp.int32)
+    batch = {"tokens": toks, "labels": toks}
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=30)
+    step = make_train_step(make_llama_moka_loss(CFG, SPEC, remat=True), tx)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, qbase, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::6]
