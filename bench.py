@@ -48,12 +48,14 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
 
     spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
     r1, r2 = jax.random.split(jax.random.key(0))
-    frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     if quantize:
         # int8 weight-only frozen base (QLoRA-style): the 7B flagship fits
-        # one 16 GB v5e chip this way
-        from moka_tpu.ops.quant import quantize_llama_base
-        frozen = quantize_llama_base(frozen)
+        # one 16 GB v5e chip this way; init directly quantized (a transient
+        # full-bf16 tree would OOM during setup)
+        from moka_tpu.ops.quant import init_llama_params_quantized
+        frozen = init_llama_params_quantized(r1, cfg)
+    else:
+        frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
 
     tx = make_optimizer(TrainConfig(), total_steps=1000)

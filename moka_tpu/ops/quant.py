@@ -63,3 +63,42 @@ def quantized_bytes(tree) -> int:
     import numpy as np
     return sum(int(np.prod(x.shape)) * x.dtype.itemsize
                for x in jax.tree.leaves(tree))
+
+
+def init_llama_params_quantized(rng: Array, cfg) -> dict:
+    """Random-init a llama base directly in quantized form, one projection
+    family at a time with donated quantization — peak memory stays at
+    int8-size + one bf16 family, never the full bf16 tree (which would OOM
+    a 16 GB chip during setup for 7B)."""
+    from moka_tpu.models.llama import _proj_shapes
+
+    shapes = _proj_shapes(cfg)
+    n = cfg.n_layers
+    keys = iter(jax.random.split(rng, len(shapes) + 3))
+    quant = jax.jit(quantize_int8, donate_argnums=0)
+
+    layers = {}
+    for name, (d_in, d_out) in shapes.items():
+        w = jax.random.normal(next(keys), (n, d_in, d_out),
+                              jnp.bfloat16) * 0.02
+        layers[name] = jax.block_until_ready(quant(w))
+        del w
+    layers["attn_norm"] = jnp.ones((n, cfg.dim), jnp.bfloat16)
+    layers["mlp_norm"] = jnp.ones((n, cfg.dim), jnp.bfloat16)
+    return {
+        "embed": jax.random.normal(next(keys), (cfg.vocab_size, cfg.dim),
+                                   jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((cfg.dim,), jnp.bfloat16),
+        "lm_head": jax.random.normal(next(keys), (cfg.dim, cfg.vocab_size),
+                                     jnp.bfloat16) * 0.02,
+    }
+
+
+def import_llama_quantized(sd: dict, cfg) -> dict:
+    """Checkpoint import straight to int8 (no full bf16 tree on device)."""
+    from moka_tpu.train.import_torch import import_llama
+    import numpy as np
+
+    base = import_llama(sd, cfg, dtype=jnp.bfloat16)  # host->device per leaf
+    return quantize_llama_base(base)
