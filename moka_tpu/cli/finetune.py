@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="fsdp",
                    help="'fsdp' | 'data' | 'd,f,m' explicit axis sizes")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--quantize-base", action="store_true",
+                   help="int8 weight-only frozen base (QLoRA-style); "
+                        "lets 7B fit one 16GB chip")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
                    help="'tiny' = small random-init model for smoke tests")
     return p
@@ -90,9 +93,15 @@ def main(argv=None):
     # frozen towers from reference checkpoints (random init if absent —
     # debug/smoke mode)
     if args.llama_ckpt:
+        if args.quantize_base:
+            from moka_tpu.ops.quant import import_llama_quantized
+            llama_params = import_llama_quantized(
+                imp.load_torch(args.llama_ckpt), cfg.llama)
+        else:
+            llama_params = imp.import_llama(
+                imp.load_torch(args.llama_ckpt), cfg.llama)
         frozen = {
-            "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
-                                      cfg.llama),
+            "llama": llama_params,
             "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
                                     cfg.clip, dtype=jnp.bfloat16),
         }

@@ -29,6 +29,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
+    p.add_argument("--quantize-base", action="store_true",
+                   help="int8 weight-only frozen base (QLoRA-style); "
+                        "lets 7B fit one 16GB chip")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
     p.add_argument("--serve", action="store_true",
                    help="start the micro-batching HTTP server instead of "
@@ -62,9 +65,15 @@ def main(argv=None):
                                            spec=spec)
 
     if args.llama_ckpt:
+        if args.quantize_base:
+            from moka_tpu.ops.quant import import_llama_quantized
+            llama_params = import_llama_quantized(
+                imp.load_torch(args.llama_ckpt), cfg.llama)
+        else:
+            llama_params = imp.import_llama(
+                imp.load_torch(args.llama_ckpt), cfg.llama)
         frozen = {
-            "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
-                                      cfg.llama),
+            "llama": llama_params,
             "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
                                     cfg.clip, dtype=jnp.bfloat16),
         }

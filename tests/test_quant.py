@@ -61,3 +61,39 @@ def test_adapter_training_on_quantized_base():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1, losses[::6]
+
+
+def test_quantized_import_close_to_hf():
+    """import_llama_quantized: logits stay close to the bf16 import and the
+    original HF model (ties HF parity + quantization together)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+    from moka_tpu.ops.quant import import_llama_quantized
+    from moka_tpu.train import import_torch as imp
+
+    hf_cfg = HFConfig(vocab_size=97, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, max_position_embeddings=64,
+                      rms_norm_eps=1e-5, attn_implementation="eager",
+                      tie_word_embeddings=False)
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    cfg = LlamaConfig(vocab_size=97, dim=64, n_layers=2, n_heads=4,
+                      n_kv_heads=4, intermediate=128, max_seq_len=64)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    qparams = import_llama_quantized(sd, cfg)
+    fparams = imp.import_llama(sd, cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, 97, (2, 9)).astype(np.int64)
+    with torch.no_grad():
+        hf_logits = model(torch.from_numpy(toks)).logits.numpy()
+    q_logits, _ = llama.forward(qparams, cfg, tokens=jnp.asarray(toks))
+    f_logits, _ = llama.forward(fparams, cfg, tokens=jnp.asarray(toks))
+    agree_q = np.mean(np.asarray(jnp.argmax(q_logits, -1))
+                      == hf_logits.argmax(-1))
+    assert agree_q > 0.85, agree_q
+    rel = float(jnp.abs(q_logits - f_logits).mean()
+                / jnp.abs(f_logits).mean())
+    assert rel < 0.08, rel
