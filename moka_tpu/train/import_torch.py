@@ -28,7 +28,25 @@ from moka_tpu.models.qformer import QFormerConfig
 
 
 def load_torch(path: str) -> dict:
-    """Load a torch/safetensors checkpoint to numpy on CPU."""
+    """Load a torch/safetensors checkpoint to numpy on CPU.
+
+    Accepts a single file or a directory of sharded checkpoints
+    (``model-0000x-of-0000y.safetensors`` / ``pytorch_model*.bin``), merging
+    the shards — real LLaMA releases ship sharded."""
+    import os
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+        shards = [n for n in names if n.endswith(".safetensors")
+                  and not n.endswith(".index.json")]
+        if not shards:
+            shards = [n for n in names
+                      if n.startswith("pytorch_model") and n.endswith(".bin")]
+        if not shards:
+            raise FileNotFoundError(f"no checkpoint shards under {path}")
+        merged: dict = {}
+        for n in shards:
+            merged.update(load_torch(os.path.join(path, n)))
+        return merged
     if str(path).endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))
