@@ -85,15 +85,29 @@ class UnifiedDataset:
                     question=s["question"]),
             })
 
+    @staticmethod
+    def _existing(base: str, exts: tuple[str, ...]) -> str:
+        for ext in exts:
+            cand = base + ext
+            if os.path.exists(cand):
+                return cand
+        return base + exts[0]
+
     def _add_ave(self, path: str, root: str) -> None:
+        """Reference layout (mp3/mp4, ``unified_dataset.py:96-105``) with
+        wav/npy/avi fallbacks — this image has no mp3 codecs
+        (``data/audio.py``)."""
         with open(path) as f:
             samples = json.load(f)
         for s in samples:
             vid = s["vid"]
             label_path = os.path.join(root, "converted_label", vid + ".txt")
             self.samples.append({
-                "audio_path": os.path.join(root, "audio_data", vid + ".mp3"),
-                "video_path": os.path.join(root, "AVE", vid + ".mp4"),
+                "audio_path": self._existing(
+                    os.path.join(root, "audio_data", vid),
+                    (".mp3", ".wav", ".npy")),
+                "video_path": self._existing(
+                    os.path.join(root, "AVE", vid), (".mp4", ".avi")),
                 "label_path": label_path, "task_name": "ave",
                 "instruction": AVE_INSTRUCTION,
             })

@@ -121,3 +121,41 @@ def test_shard_indices_no_duplicates():
     all_idx = sum((shard_indices(n, r, world) for r in range(world)), [])
     assert sorted(all_idx) == list(range(n))
     assert len(list(batched(range(10), 4))) == 3
+
+
+def test_unified_dataset_ave(tmp_path):
+    """AVE task: label files, 10x1s audio windows, the fixed instruction."""
+    import cv2
+    from scipy.io import wavfile
+    rng = np.random.default_rng(1)
+    root = tmp_path / "ave"
+    (root / "AVE").mkdir(parents=True)
+    (root / "audio_data").mkdir()
+    (root / "converted_label").mkdir()
+    vid_path = str(root / "AVE" / "v1.avi")
+    w = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 5,
+                        (64, 64))
+    for _ in range(12):
+        w.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    w.release()
+    wavfile.write(str(root / "audio_data" / "v1.wav"), 16000,
+                  (rng.standard_normal(16000 * 10) * 3000).astype(np.int16))
+    (root / "converted_label" / "v1.txt").write_text(
+        "<event>Church bell</event><range>0,9</range>")
+    ann = [{"vid": "v1", "event": "Church bell", "start_time": 0,
+            "end_time": 9}]
+    ann_path = str(tmp_path / "ave.json")
+    json.dump(ann, open(ann_path, "w"))
+
+    from moka_tpu.data.datasets import AVE_INSTRUCTION, UnifiedDataset
+    tok = toy_tokenizer()
+    ds = UnifiedDataset(tok, mode="train", ave_annotation=ann_path,
+                        ave_data_root=str(root), video_frame_nums=4,
+                        n_video_tokens=8, n_audio_tokens=8)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["audio"].shape == (10, 98, 128)  # 10 x 1s -> 98 frames
+    assert "Please describe the events and time range" in item["instruction"]
+    assert item["output"].startswith("<event>Church bell</event>")
+    batch = ds.collate([item])
+    assert batch["modality_masks"][2].sum() == 8
