@@ -35,7 +35,8 @@ def _enable_compile_cache():
 
 
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
-        quantize=False):
+        quantize=False, remat_policy=None, bf16_dots=False,
+        fused_moka=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -47,6 +48,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     from moka_tpu.train.step import init_train_state, make_train_step
 
     spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
+    if bf16_dots:
+        spec = spec.with_bf16_dots()
     r1, r2 = jax.random.split(jax.random.key(0))
     if quantize:
         # int8 weight-only frozen base (QLoRA-style): the 7B flagship fits
@@ -78,7 +81,9 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
 
     loss_fn = make_llama_moka_loss(cfg, spec, remat=True,
                                    use_flash=use_flash,
-                                   fused_loss=fused_loss)
+                                   fused_loss=fused_loss,
+                                   remat_policy=remat_policy,
+                                   use_fused_moka=fused_moka)
     step = make_train_step(loss_fn, tx, donate=True)
 
     # warmup (compile) + 2 steps
@@ -110,7 +115,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "model_flops_per_sec": tokens_per_sec * flops_per_token,
         "device": str(device),
         "use_flash": use_flash, "fused_loss": fused_loss,
-        "quantized_base": quantize,
+        "quantized_base": quantize, "remat_policy": remat_policy,
+        "bf16_dots": bf16_dots, "fused_moka": fused_moka,
     }
 
 

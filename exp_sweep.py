@@ -1,0 +1,74 @@
+"""Round-2 perf sweep on the real chip: remat policy x adapter precision x
+fused kernel x batch, at the 7B-int8 flagship shape.  Each variant runs in a
+fresh subprocess (OOM isolation); results append to /tmp/sweep.jsonl.
+
+Usage:  python exp_sweep.py --one NAME   (run one variant, print JSON)
+        python exp_sweep.py              (run all, skip already-recorded)
+"""
+import json
+import os
+import subprocess
+import sys
+
+RESULTS = "/tmp/sweep.jsonl"
+
+VARIANTS = {
+    # name: (batch, seqlen, remat_policy, bf16_dots, fused_moka)
+    "base":            (4, 1024, None,   False, False),
+    "attn":            (4, 1024, "attn", False, False),
+    "qkv":             (4, 1024, "qkv",  False, False),
+    "mlp":             (4, 1024, "mlp",  False, False),
+    "proj":            (4, 1024, "proj", False, False),
+    "bf16":            (4, 1024, None,   True,  False),
+    "fusedk":          (4, 1024, None,   False, True),
+    "bf16_qkv":        (4, 1024, "qkv",  True,  False),
+    "bf16_mlp":        (4, 1024, "mlp",  True,  False),
+    "bf16_proj":       (4, 1024, "proj", True,  False),
+    "b8_bf16_qkv":     (8, 1024, "qkv",  True,  False),
+    "b8_bf16":         (8, 1024, None,   True,  False),
+    "b8_bf16_attn":    (8, 1024, "attn", True,  False),
+    "b8_bf16_fusedk":  (8, 1024, None,   True,  True),
+    "b8_bf16_mlp":     (8, 1024, "mlp",  True,  False),
+}
+
+
+def run_one(name):
+    import bench
+    from moka_tpu.core.config import LlamaConfig
+    b, L, pol, bf16, fused = VARIANTS[name]
+    cfg = LlamaConfig.llama2_7b(vocab_size=32011)
+    out = bench.run("llama2_7b_int8", cfg, b, L, quantize=True,
+                    remat_policy=pol, bf16_dots=bf16, fused_moka=fused)
+    out["variant"] = name
+    print(json.dumps(out))
+
+
+def main():
+    done = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            done = {json.loads(l)["variant"] for l in f if l.strip()}
+    for name in VARIANTS:
+        if name in done:
+            continue
+        proc = subprocess.run([sys.executable, __file__, "--one", name],
+                              capture_output=True, text=True, timeout=1500)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+            with open(RESULTS, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(f"{name}: {rec['tokens_per_sec']:.0f} tok/s "
+                  f"({rec['step_time_s']*1e3:.0f} ms)")
+        except (json.JSONDecodeError, IndexError):
+            err = proc.stderr.strip().splitlines()[-1][:160] if proc.stderr else "?"
+            print(f"{name}: FAILED {err}")
+            with open(RESULTS, "a") as f:
+                f.write(json.dumps({"variant": name, "error": err}) + "\n")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    else:
+        main()

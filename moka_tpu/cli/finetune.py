@@ -114,7 +114,15 @@ def main(argv=None):
                                      dtype=jnp.float32 if
                                      args.model_preset == "tiny" else
                                      jnp.bfloat16)
+        if args.quantize_base:
+            from moka_tpu.ops.quant import quantize_llama_base
+            frozen["llama"] = quantize_llama_base(frozen["llama"])
     frozen = shardlib.shard_params(mesh, frozen)
+    if jax.process_index() == 0:
+        q_leaf = frozen["llama"]["layers"]["q"]
+        q_arr = q_leaf["w_i8"] if isinstance(q_leaf, dict) else q_leaf
+        print(f"base q sharding: {q_arr.sharding.spec} "
+              f"(quantized={isinstance(q_leaf, dict)})")
 
     trainable = unified.init_trainable(jax.random.key(args.seed), cfg)
     for flag, key, kind in ((args.vl_pretrain, "vl_projector", "visual"),

@@ -117,10 +117,11 @@ class MaskBundle:
 def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
                 dropout_rng: Array | None, fused: bool = False) -> Array:
+    from jax.ad_checkpoint import checkpoint_name
     from moka_tpu.ops.quant import qmatmul
     y = qmatmul(x, base_w)
     if adapters is None or name not in adapters:
-        return y
+        return checkpoint_name(y, f"proj_{name}")
     a, b = adapters[name]["a"], adapters[name]["b"]
     if masks is None:
         # decode steps / text-only: text-adapter fast path (lora.py:373-381)
@@ -128,12 +129,22 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
     rng = None
     if dropout_rng is not None and spec.dropout_rate > 0:
         rng = jax.random.fold_in(dropout_rng, _PROJ_INDEX[name])
-    if fused and rng is None:
+    if fused:
+        # LoRA dropout applies only to the adapter's input (lora.py:371,
+        # 403): apply it outside the kernel, keep the base matmul on the
+        # clean x — gradients flow through the dropout mask via the VJP.
         from moka_tpu.ops.moka_pallas import moka_delta_fused
-        return y + moka_delta_fused(x, a, b, masks.modality, masks.question,
-                                    spec)
-    return y + moka_delta(x, a, b, masks.modality, masks.question, spec,
-                          dropout_rng=rng)
+        x_d = x
+        if rng is not None:
+            keep = 1.0 - spec.dropout_rate
+            dmask = jax.random.bernoulli(rng, keep, x.shape)
+            x_d = jnp.where(dmask, x / keep, 0.0).astype(x.dtype)
+        return checkpoint_name(
+            y + moka_delta_fused(x_d, a, b, masks.modality, masks.question,
+                                 spec), f"proj_{name}")
+    return checkpoint_name(
+        y + moka_delta(x, a, b, masks.modality, masks.question, spec,
+                       dropout_rng=rng), f"proj_{name}")
 
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
@@ -209,7 +220,8 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                          attn_mask, q_offset=qoff)
     else:
         attn = mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype), bias)
-    attn = attn.reshape(b, L, H * hd)
+    from jax.ad_checkpoint import checkpoint_name
+    attn = checkpoint_name(attn.reshape(b, L, H * hd), "attn_out")
     h = h + proj("o", x=attn, base_w=layer["o"])
 
     x = rmsnorm(h, layer["mlp_norm"], cfg.rms_eps)
@@ -218,6 +230,38 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
     h = h + proj("down", x=act, base_w=layer["down"])
     return h, cache_k, cache_v
+
+
+def _remat_policy(name: str | None):
+    """Named rematerialization policies for the per-layer ``jax.checkpoint``.
+
+    The reference's grad checkpointing recomputes the full layer
+    (``modeling_llama.py:719-733``); with a frozen base the recompute is
+    almost entirely the 7 projection matmuls (~2P of a 6P/token step —
+    attention is negligible at L~1k), so saving projection outputs trades
+    HBM for up to 1.5x step throughput where memory allows.
+
+      None / "full":  save only layer inputs (max memory savings)
+      "attn":         save the attention output (skips flash-fwd recompute)
+      "qkv":          + q/k/v projection outputs
+      "mlp":          attn + gate/up outputs (the two largest matmuls)
+      "proj":         all 7 projection outputs + attention (min recompute)
+      "dots":         jax built-in dots_saveable
+    """
+    if name is None or name == "full":
+        return None
+    save = jax.checkpoint_policies.save_only_these_names
+    if name == "attn":
+        return save("attn_out")
+    if name == "qkv":
+        return save("attn_out", "proj_q", "proj_k", "proj_v")
+    if name == "mlp":
+        return save("attn_out", "proj_gate", "proj_up")
+    if name == "proj":
+        return save("attn_out", *(f"proj_{n}" for n in PROJ_DIMS))
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    raise ValueError(f"unknown remat policy {name!r}")
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
@@ -235,6 +279,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
             positions: Array | None = None,
             cache: dict | None = None,
             remat: bool = False,
+            remat_policy: str | None = None,
             dropout_rng: Array | None = None,
             logits: bool = True,
             use_flash: bool = False,
@@ -277,7 +322,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
                                  use_fused_moka, paged_decode)
     if remat:
         layer_fn = jax.checkpoint(
-            layer_fn, static_argnums=(), policy=None)
+            layer_fn, static_argnums=(), policy=_remat_policy(remat_policy))
 
     if dropout_rng is not None:
         layer_rngs = jax.random.split(dropout_rng, cfg.n_layers)

@@ -63,6 +63,13 @@ class MokaSpec:
         modality's token rows (AVT: all 1.0; VT: ``alpha/r`` per adapter).
         ``None`` means "all ones" (skip the per-token scaling entirely).
       dropout_rate: LoRA dropout on the A input (train only).
+      bf16_dots: run the adapter einsums with bf16 MXU inputs + fp32
+        accumulators instead of true-fp32 (``precision="highest"``) passes.
+        The reference's adapter math is fp32 (torch default), so exactness
+        tests keep this off; for training throughput the bf16-in/fp32-acc
+        variant is numerically free at trained adapter scales (same policy
+        the fused Pallas kernel uses) and avoids 6-pass fp32 MXU emulation
+        over full activations.
     """
 
     num_modalities: int
@@ -72,6 +79,10 @@ class MokaSpec:
     pre_scale: float = 1.0
     post_scales: tuple[float, ...] | None = None
     dropout_rate: float = 0.0
+    bf16_dots: bool = False
+
+    def with_bf16_dots(self) -> "MokaSpec":
+        return dataclasses.replace(self, bf16_dots=True)
 
     @staticmethod
     def avt(rank: int = 4, lora_alpha: float = 16.0, blc_weight: float = 1.0,
@@ -120,7 +131,7 @@ def init_moka_params(rng: Array, d_in: int, d_out: int, spec: MokaSpec,
 
 
 def rank_space_cross_attention(q: Array, keys: Array, question_mask: Array,
-                               dk: float) -> Array:
+                               dk: float, precision="highest") -> Array:
     """softmax(q @ keys^T / sqrt(dk)) @ keys, keys masked to question tokens.
 
     q: (b, L, r) queries (a modality's A-projected stream, all positions —
@@ -132,7 +143,7 @@ def rank_space_cross_attention(q: Array, keys: Array, question_mask: Array,
     """
     scores = jnp.einsum("blr,bkr->blk", q, keys,
                         preferred_element_type=jnp.float32,
-                       precision="highest")
+                        precision=precision)
     scores = scores / jnp.sqrt(jnp.float32(dk))
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=scores.dtype)
     scores = jnp.where(question_mask[:, None, :] > 0, scores, neg)
@@ -164,6 +175,11 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
     """
     m, _, r = lora_a.shape
     assert m == spec.num_modalities and r == spec.rank
+    prec = None if spec.bf16_dots else "highest"
+    if spec.bf16_dots:
+        lora_a = lora_a.astype(jnp.bfloat16)
+        lora_b = lora_b.astype(jnp.bfloat16)
+        x = x.astype(jnp.bfloat16)
 
     x_d = x
     if dropout_rng is not None and spec.dropout_rate > 0.0:
@@ -175,7 +191,7 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
     # modalities, masked afterwards.  (M, b, L, r)
     a_all = jnp.einsum("bld,mdr->mblr", x_d, lora_a,
                        preferred_element_type=jnp.float32,
-                       precision="highest")
+                       precision=prec)
     a_all = a_all * modality_masks[..., None] * jnp.float32(spec.pre_scale)
 
     keys = a_all[0] * question_mask[..., None]  # (b, L, r)
@@ -183,13 +199,15 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
     buffer = jnp.sum(a_all, axis=0)
     for i in spec.attn_modalities:
         attn = rank_space_cross_attention(a_all[i], keys, question_mask,
-                                          dk=spec.rank)
+                                          dk=spec.rank, precision=prec)
         buffer = buffer + modality_masks[i][..., None] * (
             jnp.float32(spec.attn_weight) * attn)
 
+    if spec.bf16_dots:
+        buffer = buffer.astype(jnp.bfloat16)
     delta = jnp.einsum("blr,rd->bld", buffer, lora_b,
                        preferred_element_type=jnp.float32,
-                       precision="highest")
+                       precision=prec)
     if spec.post_scales is not None:
         post = jnp.asarray(spec.post_scales, dtype=delta.dtype)
         token_scale = jnp.einsum("mbl,m->bl", modality_masks.astype(delta.dtype),

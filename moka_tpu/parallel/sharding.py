@@ -26,6 +26,14 @@ RULES: list[tuple[str, P]] = [
     (r".*layers/o$",              P(None, "model", "fsdp")),
     (r".*layers/(gate|up)$",      P(None, "fsdp", "model")),
     (r".*layers/down$",           P(None, "model", "fsdp")),
+    # --- int8-quantized base: {w_i8, scale} dict leaves (ops/quant.py).
+    # w_i8 shards like the bf16 weight; the (N, 1, d_out) per-out-channel
+    # scale shards along d_out to match the weight's output axis (the
+    # ZeRO-3-for-quantized-bases analog of zero_stage3_config_70b.json).
+    (r".*layers/(q|k|v|gate|up)/w_i8$",  P(None, "fsdp", "model")),
+    (r".*layers/(q|k|v|gate|up)/scale$", P(None, None, "model")),
+    (r".*layers/(o|down)/w_i8$",         P(None, "model", "fsdp")),
+    (r".*layers/(o|down)/scale$",        P(None, None, "fsdp")),
     (r".*layers/(attn_norm|mlp_norm)$", P(None, None)),
     (r".*/embed$",                P(None, "fsdp")),
     (r".*/lm_head$",              P("fsdp", "model")),

@@ -14,13 +14,17 @@ from moka_tpu.ops.moka import MokaSpec
 
 def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          remat: bool = True, use_flash: bool = False,
-                         fused_loss: bool = False):
+                         fused_loss: bool = False,
+                         remat_policy: str | None = None,
+                         use_fused_moka: bool = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
     ``labels`` (b, L) with -100 ignore; optional ``modality_masks`` (M, b, L),
     ``question_mask`` (b, L), ``attn_mask`` (b, L), ``positions`` (b, L).
-    use_flash: Pallas flash attention; fused_loss: chunked lm_head+CE.
+    use_flash: Pallas flash attention; fused_loss: chunked lm_head+CE;
+    remat_policy: see ``llama._remat_policy``; use_fused_moka: the fused
+    Pallas adapter kernel (dropout applied outside the kernel).
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -34,8 +38,10 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             inputs_embeds=batch.get("inputs_embeds"),
             masks=masks, attn_mask=batch.get("attn_mask"),
             positions=batch.get("positions"), remat=remat,
+            remat_policy=remat_policy,
             dropout_rng=rng if spec.dropout_rate > 0 else None,
-            logits=not fused_loss, use_flash=use_flash)
+            logits=not fused_loss, use_flash=use_flash,
+            use_fused_moka=use_fused_moka)
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
                                                batch["labels"])
