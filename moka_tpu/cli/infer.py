@@ -94,10 +94,10 @@ def main(argv=None):
             spec.num_modalities, spec.rank)
     if args.non_lora_ckpt:
         sd = imp.load_torch(args.non_lora_ckpt)
-        vl = {k[len("vl_projector."):]: v for k, v in sd.items()
-              if k.startswith("vl_projector.")}
-        al = {k[len("al_projector."):]: v for k, v in sd.items()
-              if k.startswith("al_projector.")}
+        # wrapper prefixes vary by stage (base_model.model.model. / model.):
+        # match by substring, like the reference's strict=False layered load
+        vl = imp.strip_to_submodule(sd, "vl_projector.")
+        al = imp.strip_to_submodule(sd, "al_projector.")
         if vl:
             trainable["vl_projector"] = imp.import_projector(
                 vl, cfg.vl_projector, kind="visual")

@@ -114,7 +114,7 @@ def main(argv=None):
                 yield {k: jnp.asarray(v) for k, v in batch.items()}
 
     trainer.train(batches())
-    trainer.finalize()
+    trainer.finalize(stage1=True)
 
 
 if __name__ == "__main__":

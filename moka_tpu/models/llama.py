@@ -300,8 +300,14 @@ def forward(base: dict, cfg: LlamaConfig, *,
 
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(L), (b, L))
+    # dynamic-NTK scales by the TOTAL attended length (reference
+    # DynamicNTKScalingRotaryEmbedding uses kv_seq_len); note that keys
+    # cached under one theta are not reusable under another — the reference
+    # resets its cos/sin cache on overflow, so callers should not mix
+    # pre/post-overflow cache entries either.
+    total_len = cache["length"] + L if cache is not None else L
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
-                            cfg.rope_scaling, seq_len=L,
+                            cfg.rope_scaling, seq_len=total_len,
                             max_seq_len=cfg.max_seq_len)
 
     if cache is not None:

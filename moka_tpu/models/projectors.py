@@ -30,6 +30,7 @@ class ProjectorConfig:
     qformer_layers: int = 2
     qformer_hidden: int = 768
     qformer_heads: int = 12
+    qformer_intermediate: int = 3072
     d_model: int = 4096
     tokens_per_group: int = 256     # CLIP patches per frame / BEATs tokens
     ln_eps: float = 1e-12
@@ -38,6 +39,7 @@ class ProjectorConfig:
         return QFormerConfig(hidden=self.qformer_hidden,
                              n_layers=self.qformer_layers,
                              n_heads=self.qformer_heads,
+                             intermediate=self.qformer_intermediate,
                              encoder_width=self.input_width,
                              num_query_tokens=self.num_query_tokens)
 

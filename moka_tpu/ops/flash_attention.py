@@ -112,7 +112,12 @@ def _bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, None])
+        lse_row = lse_ref[0, 0][:, None]
+        # a fully-masked query row has lse = NEG_INF, making exp(s - lse) = 1
+        # across the block; zero it so such rows contribute no gradient even
+        # under nonzero cotangents
+        p = jnp.where(lse_row > NEG_INF * 0.5,
+                      jnp.exp(s - lse_row), 0.0)
         do = do_ref[0]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -152,7 +157,9 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, None])  # (Bq, Bk)
+        lse_row = lse_ref[0, 0][:, None]
+        p = jnp.where(lse_row > NEG_INF * 0.5,
+                      jnp.exp(s - lse_row), 0.0)  # (Bq, Bk)
         do = do_ref[0]
         pb = p.astype(do.dtype)
         dv_scr[:] += jax.lax.dot_general(

@@ -19,13 +19,18 @@ def rope_frequencies(head_dim: int, theta: float,
                      scaling: tuple[str, float] | None,
                      seq_len: int | None = None,
                      max_seq_len: int = 2048) -> Array:
-    """inv_freq (head_dim/2,) with optional NTK rescaling of theta."""
-    if scaling is not None and scaling[0] == "dynamic" and seq_len is not None \
-            and seq_len > max_seq_len:
-        # dynamic NTK: grow theta with the overflow ratio
-        # (modeling_llama.py:160-178)
+    """inv_freq (head_dim/2,) with optional NTK rescaling of theta.
+
+    ``seq_len`` is the TOTAL attended length (cache length + current chunk
+    for cached decode — the reference scales by ``kv_seq_len``,
+    ``modeling_llama.py:160-178``) and may be a traced value: the rescale
+    clamps at ``max_seq_len`` so lengths within the window leave theta
+    unchanged, exactly like the reference's ``if seq_len > max`` branch."""
+    if scaling is not None and scaling[0] == "dynamic" and seq_len is not None:
         factor = scaling[1]
-        theta = theta * ((factor * seq_len / max_seq_len) - (factor - 1)) ** (
+        sl = jnp.maximum(jnp.asarray(seq_len, jnp.float32),
+                         jnp.float32(max_seq_len))
+        theta = theta * ((factor * sl / max_seq_len) - (factor - 1)) ** (
             head_dim / (head_dim - 2))
     exponent = jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim
     return 1.0 / (theta ** exponent)

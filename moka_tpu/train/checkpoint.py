@@ -99,10 +99,25 @@ def adapters_to_torch_state_dict(adapters: dict,
     return sd
 
 
-def export_torch_artifacts(out_dir: str, trainable: dict) -> None:
+def export_torch_artifacts(out_dir: str, trainable: dict,
+                           stage1: bool = False) -> None:
     """Final split save matching ``finetune.py:195-201``:
     ``adapter_model.bin`` (lora params) + ``non_lora_trainables.bin``
-    (projector params, reference module naming)."""
+    (projector params).
+
+    Key prefixes are stage-dependent, mirroring the reference's
+    ``named_parameters()`` naming at save time:
+
+    * stage-2 (default): the model is peft-wrapped, so keys carry
+      ``base_model.model.model.`` (``finetune.py:197``) — the prefix the
+      reference inference driver's strict=False load actually matches
+      (``inference_cut.py:176-178``).  Bare ``vl_projector.`` keys would
+      silently match nothing there.
+    * ``stage1=True``: no peft wrap, keys carry ``model.``
+      (``pretrain.py:144-148``), and new-token embedding rows export as
+      ``model.embed_tokens.weight`` (popped by the stage-2 loader,
+      ``finetune.py:138-148``).
+    """
     import torch
     os.makedirs(out_dir, exist_ok=True)
     if "adapters" in trainable:
@@ -110,13 +125,17 @@ def export_torch_artifacts(out_dir: str, trainable: dict) -> None:
               adapters_to_torch_state_dict(trainable["adapters"]).items()}
         torch.save(sd, os.path.join(out_dir, "adapter_model.bin"))
     non_lora = {}
+    wrap = "model." if stage1 else "base_model.model.model."
     for proj_key, ref_prefix, kind in (
-            ("vl_projector", "vl_projector.", "visual"),
-            ("al_projector", "al_projector.", "audio"),
-            ("projector", "multi_modal_projector.", "visual")):
+            ("vl_projector", f"{wrap}vl_projector.", "visual"),
+            ("al_projector", f"{wrap}al_projector.", "audio"),
+            ("projector", f"{wrap}multi_modal_projector.", "visual")):
         if proj_key in trainable:
             non_lora.update(projector_to_torch_state_dict(
                 trainable[proj_key], kind=kind, prefix=ref_prefix))
+    if stage1 and "new_token_embeds" in trainable:
+        non_lora[f"{wrap}embed_tokens.weight"] = np.asarray(
+            trainable["new_token_embeds"], np.float32)
     if non_lora:
         import torch
         non_lora = {k: torch.from_numpy(np.ascontiguousarray(v))
@@ -188,10 +207,17 @@ def projector_to_torch_state_dict(proj: dict, kind: str = "visual",
 
 
 def export_vt_state_dict(trainable: dict, cfg) -> dict:
-    """VT trainable -> reference naming (``multi_modal_projector.*`` +
-    PeftMixedModel ``...q_proj.lora_A.{text,image}.weight`` /
-    ``lora_B.text.weight``), the schema ``model.safetensors`` stores and the
-    eval drivers load strict (``mmbench.py:576-577``)."""
+    """VT trainable -> reference submodule naming
+    (``multi_modal_projector.*`` + ``...q_proj.lora_A.{text,image}.weight`` /
+    ``lora_B.text.weight``).
+
+    NOTE: this is the TRAINABLE subset only.  The reference eval drivers
+    load ``model.safetensors`` with ``strict=True`` onto a PeftMixedModel
+    (``mmbench.py:576-577``), which requires the FULL state dict (frozen
+    vision tower + llama base + lm_head) under ``base_model.model.``
+    wrapper prefixes — use ``export_vt_full_state_dict`` for that.  This
+    artifact round-trips via ``import_torch.import_vt_trainable`` (substring
+    key matching), which is the in-framework interop path."""
     sd = {}
     if "projector" in trainable:
         sd.update(projector_to_torch_state_dict(
@@ -220,3 +246,139 @@ def save_vt_safetensors(path: str, trainable: dict, cfg) -> None:
     from safetensors.numpy import save_file
     save_file({k: np.ascontiguousarray(v) for k, v in
                export_vt_state_dict(trainable, cfg).items()}, path)
+
+
+def clip_to_torch_state_dict(clip: dict, cfg,
+                             prefix: str = "vision_model.") -> dict:
+    """Inverse of ``import_torch.import_clip`` (HF CLIPVisionModel naming,
+    incl. the upstream 'pre_layrnorm' typo)."""
+    sd = {}
+    patch = np.asarray(clip["patch"], np.float32)       # (3*p*p, d)
+    d = patch.shape[1]
+    p = cfg.patch_size
+    sd[f"{prefix}embeddings.patch_embedding.weight"] = \
+        np.ascontiguousarray(patch.T.reshape(d, 3, p, p))
+    sd[f"{prefix}embeddings.class_embedding"] = np.asarray(
+        clip["cls"], np.float32)
+    sd[f"{prefix}embeddings.position_embedding.weight"] = np.asarray(
+        clip["pos"], np.float32)
+
+    def lnp(tree, name):
+        sd[f"{name}.weight"] = np.asarray(tree["g"], np.float32)
+        sd[f"{name}.bias"] = np.asarray(tree["b"], np.float32)
+
+    lnp(clip["pre_ln"], f"{prefix}pre_layrnorm")
+    lnp(clip["post_ln"], f"{prefix}post_layernorm")
+    names = {"ln1": "layer_norm1", "q": "self_attn.q_proj",
+             "k": "self_attn.k_proj", "v": "self_attn.v_proj",
+             "out": "self_attn.out_proj", "ln2": "layer_norm2",
+             "fc1": "mlp.fc1", "fc2": "mlp.fc2"}
+    n_layers = np.asarray(clip["layers"]["q"]["w"]).shape[0]
+    for i in range(n_layers):
+        for ours, theirs in names.items():
+            t = clip["layers"][ours]
+            full = f"{prefix}encoder.layers.{i}.{theirs}"
+            if ours.startswith("ln"):
+                sd[f"{full}.weight"] = np.asarray(t["g"][i], np.float32)
+            else:
+                sd[f"{full}.weight"] = np.ascontiguousarray(
+                    np.asarray(t["w"][i], np.float32).T)
+            sd[f"{full}.bias"] = np.asarray(t["b"][i], np.float32)
+    return sd
+
+
+def export_vt_full_state_dict(trainable: dict, frozen: dict, cfg) -> dict:
+    """The FULL PeftMixedModel state dict the reference eval drivers load
+    with ``strict=True`` (``mmbench.py:576-577``): frozen CLIP vision tower
+    + frozen llama base (projection weights under ``.base_layer``) + lm_head
+    + Q-Former projector + both dual adapters, all under ``base_model.model.``
+    wrapper prefixes.  Key inventory is pinned against the reference model's
+    own ``state_dict()`` in ``tests/test_vt_full_export.py``.
+
+    Two families of keys exist in the reference module tree but not in this
+    framework's math (both provably unused in its forward):
+    ``visual_Qformer.cls.*`` (the BertLMHeadModel LM head — the projector
+    uses ``feature_only`` query outputs) exports as zeros, and
+    ``bert.embeddings.position_ids`` (a persistent arange buffer) is
+    materialized directly."""
+    from moka_tpu.ops.quant import dequantize, is_quantized
+
+    root = "base_model.model."
+    inner = f"{root}model."
+    sd = {}
+
+    # --- frozen CLIP tower ---
+    sd.update(clip_to_torch_state_dict(
+        frozen["clip"], cfg.clip,
+        prefix=f"{inner}vision_tower.vision_model."))
+
+    # --- frozen llama base (+ lm_head at the wrapper root) ---
+    base = frozen["llama"]
+    lm = f"{inner}language_model."
+    sd[f"{lm}embed_tokens.weight"] = np.asarray(base["embed"], np.float32)
+    sd[f"{lm}norm.weight"] = np.asarray(base["final_norm"], np.float32)
+    sd[f"{root}lm_head.weight"] = np.ascontiguousarray(
+        np.asarray(base["lm_head"], np.float32).T)
+    group = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
+             "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+             "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+             "down": "mlp.down_proj"}
+    n_layers = cfg.llama.n_layers
+    for name, theirs in group.items():
+        w = base["layers"][name]
+        if is_quantized(w):
+            w = dequantize(w, dtype=np.float32)
+        w = np.asarray(w, np.float32)  # (N, d_in, d_out)
+        for i in range(n_layers):
+            sd[f"{lm}layers.{i}.{theirs}.base_layer.weight"] = \
+                np.ascontiguousarray(w[i].T)
+    for i in range(n_layers):
+        sd[f"{lm}layers.{i}.input_layernorm.weight"] = np.asarray(
+            base["layers"]["attn_norm"][i], np.float32)
+        sd[f"{lm}layers.{i}.post_attention_layernorm.weight"] = np.asarray(
+            base["layers"]["mlp_norm"][i], np.float32)
+
+    # --- dual adapters (lora_B.image exists in the module tree but is
+    # never applied — layer.py:657; zero-init like the reference) ---
+    for name, p in trainable["adapters"]["layers"].items():
+        a = np.asarray(p["a"], np.float32)   # (N, 2, d_in, r)
+        b = np.asarray(p["b"], np.float32)   # (N, r, d_out)
+        for i in range(n_layers):
+            basek = f"{lm}layers.{i}.{group[name]}"
+            sd[f"{basek}.lora_A.text.weight"] = np.ascontiguousarray(
+                a[i, 0].T)
+            sd[f"{basek}.lora_A.image.weight"] = np.ascontiguousarray(
+                a[i, 1].T)
+            sd[f"{basek}.lora_B.text.weight"] = np.ascontiguousarray(b[i].T)
+            sd[f"{basek}.lora_B.image.weight"] = np.zeros_like(b[i].T)
+
+    # --- Q-Former projector + vendored-BertLMHeadModel extras ---
+    proj_prefix = f"{inner}multi_modal_projector."
+    sd.update(projector_to_torch_state_dict(
+        trainable["projector"], kind="visual", prefix=proj_prefix))
+    q = trainable["projector"]["qformer"]
+    vocab, hidden = np.asarray(q["word_embed"]).shape
+    max_pos = np.asarray(q["pos_embed"]).shape[0]
+    qp = f"{proj_prefix}visual_Qformer."
+    sd[f"{qp}bert.embeddings.position_ids"] = np.arange(
+        max_pos, dtype=np.int64)[None]
+    cls = f"{qp}cls.predictions."
+    sd[f"{cls}bias"] = np.zeros((vocab,), np.float32)
+    sd[f"{cls}decoder.weight"] = np.zeros((vocab, hidden), np.float32)
+    sd[f"{cls}decoder.bias"] = np.zeros((vocab,), np.float32)
+    sd[f"{cls}transform.dense.weight"] = np.zeros((hidden, hidden),
+                                                  np.float32)
+    sd[f"{cls}transform.dense.bias"] = np.zeros((hidden,), np.float32)
+    sd[f"{cls}transform.LayerNorm.weight"] = np.ones((hidden,), np.float32)
+    sd[f"{cls}transform.LayerNorm.bias"] = np.zeros((hidden,), np.float32)
+    return sd
+
+
+def save_vt_full_safetensors(path: str, trainable: dict, frozen: dict,
+                             cfg) -> None:
+    """``model.safetensors`` loadable by the reference eval drivers
+    (strict=True onto a PeftMixedModel)."""
+    from safetensors.numpy import save_file
+    save_file({k: np.ascontiguousarray(v) for k, v in
+               export_vt_full_state_dict(trainable, frozen, cfg).items()},
+              path)

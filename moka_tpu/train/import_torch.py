@@ -358,6 +358,21 @@ def import_moka_adapters_vt(sd: dict, cfg: LlamaConfig, rank: int,
                            "b": jnp.asarray(v["b"])} for k, v in out.items()}}
 
 
+def strip_to_submodule(sd: dict, sub: str) -> dict:
+    """Select keys containing ``sub`` and strip everything up to and
+    including it.  Reference artifacts carry stage-dependent wrapper
+    prefixes ('base_model.model.model.' from the peft-wrapped finetune
+    save, 'model.' from stage-1 pretrain — ``finetune.py:197``,
+    ``pretrain.py:144-148``) and load with ``strict=False``; substring
+    matching is the only prefix-robust inverse."""
+    out = {}
+    for k, v in sd.items():
+        i = k.find(sub)
+        if i != -1:
+            out[k[i + len(sub):]] = v
+    return out
+
+
 def import_vt_trainable(sd: dict, cfg, trainable: dict) -> dict:
     """VT full-state ``model.safetensors`` / ``visual_pretrain.bin`` ->
     {projector, adapters}.  The projector is the reference VLProjector

@@ -120,11 +120,13 @@ class Trainer:
                           self.state)
         return self.state
 
-    def finalize(self) -> None:
+    def finalize(self, stage1: bool = False) -> None:
         """Final split save (adapter_model.bin + non_lora_trainables.bin
-        equivalents) + last orbax checkpoint."""
+        equivalents) + last orbax checkpoint.  ``stage1`` selects the
+        reference's stage-1 (unwrapped ``model.``) key prefixes."""
         if not self.is_main:
             return
         ckpt.save(os.path.join(self.out_dir, "checkpoints"), self.state)
-        ckpt.export_torch_artifacts(self.out_dir, self.state.params)
+        ckpt.export_torch_artifacts(self.out_dir, self.state.params,
+                                    stage1=stage1)
         self.logger.close()

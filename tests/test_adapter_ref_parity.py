@@ -52,9 +52,13 @@ def _import_vt_linear():
     import peft.import_utils
     import peft.utils
     for mod in (peft.utils, peft.import_utils):
-        for name in ("get_auto_gptq_quant_linear", "is_auto_awq_available",
-                     "is_auto_gptq_available", "is_eetq_available",
-                     "is_hqq_available", "is_aqlm_available"):
+        # get_auto_gptq_quant_linear must return None (used in an
+        # isinstance check); the is_*_available probes return False
+        if not hasattr(mod, "get_auto_gptq_quant_linear"):
+            mod.get_auto_gptq_quant_linear = lambda *a, **k: None
+        for name in ("is_auto_awq_available", "is_auto_gptq_available",
+                     "is_eetq_available", "is_hqq_available",
+                     "is_aqlm_available"):
             if not hasattr(mod, name):
                 setattr(mod, name, lambda *a, **k: False)
     if REF_VT not in sys.path:

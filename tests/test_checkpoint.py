@@ -89,3 +89,47 @@ def test_projector_torch_roundtrip():
         np.testing.assert_allclose(np.asarray(flat_b[k]),
                                    np.asarray(flat_a[k]), rtol=1e-6,
                                    err_msg=str(k))
+
+
+def test_non_lora_export_prefixes_and_reimport(tmp_path):
+    """ADVICE r1 (high): non_lora_trainables.bin keys must carry the
+    reference wrapper prefixes ('base_model.model.model.' stage-2 /
+    'model.' stage-1 — finetune.py:197, pretrain.py:144-148) and the
+    importer must accept any of them by substring match."""
+    import torch
+    cfg = ProjectorConfig(input_width=16, num_query_tokens=3,
+                          qformer_hidden=24, d_model=32, tokens_per_group=4)
+    trainable = {
+        "vl_projector": init_projector_params(jax.random.key(4), cfg),
+        "al_projector": init_projector_params(jax.random.key(5), cfg),
+        "new_token_embeds": jax.random.normal(jax.random.key(6), (11, 32)),
+    }
+
+    # stage-2 export: peft-wrapped prefix
+    out2 = str(tmp_path / "s2")
+    ckpt.export_torch_artifacts(out2, trainable)
+    sd2 = torch.load(f"{out2}/non_lora_trainables.bin", weights_only=True)
+    assert all(k.startswith("base_model.model.model.") for k in sd2), \
+        sorted(sd2)[:3]
+    assert any(".vl_projector.visual_ln.weight" in k for k in sd2)
+
+    # stage-1 export: unwrapped 'model.' prefix + trainable embed rows
+    out1 = str(tmp_path / "s1")
+    ckpt.export_torch_artifacts(out1, trainable, stage1=True)
+    sd1 = torch.load(f"{out1}/non_lora_trainables.bin", weights_only=True)
+    assert all(k.startswith("model.") for k in sd1), sorted(sd1)[:3]
+    assert "model.embed_tokens.weight" in sd1
+    assert tuple(sd1["model.embed_tokens.weight"].shape) == (11, 32)
+
+    # reimport through the substring matcher recovers the projector exactly
+    for sd in (sd2, sd1):
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        vl = imp.strip_to_submodule(sd_np, "vl_projector.")
+        back = imp.import_projector(vl, cfg, kind="visual")
+        flat_a = dict(jax.tree_util.tree_flatten_with_path(
+            trainable["vl_projector"])[0])
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+        for k in flat_a:
+            np.testing.assert_allclose(np.asarray(flat_b[k]),
+                                       np.asarray(flat_a[k]), rtol=1e-6,
+                                       err_msg=str(k))

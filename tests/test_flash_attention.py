@@ -73,3 +73,39 @@ def test_ragged_lengths():
     want = mha(q, k, v, causal_bias(mask, 13, 13))
     got = flash_mha(q, k, v, mask, block_q=8, block_k=8, interpret=True)
     _cmp(got, want, mask, rtol=2e-5, atol=2e-5)
+
+
+def test_fully_masked_rows_zero_gradient():
+    """ADVICE r1: a valid query row whose entire causal window is masked
+    (lse = -inf) must contribute ZERO gradient even when dout is nonzero on
+    it — previously exp(s - lse) collapsed to 1 across the block and leaked
+    spurious dq/dk/dv."""
+    q, k, v, _ = _data(b=1, L=8, S=8, H=2, KH=2)
+    mask = np.ones((1, 8), np.int32)
+    mask[0, :4] = 0  # queries 0..3 have fully-masked causal windows
+    mask_j = jnp.asarray(mask)
+
+    def f(q_, k_, v_):
+        out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
+                        interpret=True)
+        return jnp.sum(out)  # nonzero cotangent on EVERY row incl. masked
+
+    dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    # masked-row dq must be exactly zero
+    np.testing.assert_array_equal(np.asarray(dq)[0, :4], 0.0)
+    # dk/dv: compare against eager grads over valid rows only
+    def f_eager(q_, k_, v_):
+        bias = causal_bias(mask_j, 8, 8)
+        out = mha(q_, k_, v_, bias)
+        return jnp.sum(out * jnp.asarray(mask, np.float32)[:, :, None, None])
+
+    def f_flash_valid(q_, k_, v_):
+        out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
+                        interpret=True)
+        return jnp.sum(out * jnp.asarray(mask, np.float32)[:, :, None, None])
+
+    want = jax.grad(f_eager, argnums=(1, 2))(q, k, v)
+    got = jax.grad(f_flash_valid, argnums=(1, 2))(q, k, v)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
