@@ -36,7 +36,7 @@ def _enable_compile_cache():
 
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
-        fused_moka=False):
+        fused_moka=False, rng_impl=None):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -62,7 +62,9 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
 
     tx = make_optimizer(TrainConfig(), total_steps=1000)
-    state = init_train_state(trainable, tx, jax.random.key(0))
+    key = jax.random.key(0) if rng_impl is None else \
+        jax.random.key(0, impl=rng_impl)
+    state = init_train_state(trainable, tx, key)
 
     b, L = batch, seqlen
     rng = np.random.default_rng(0)
@@ -117,29 +119,37 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "use_flash": use_flash, "fused_loss": fused_loss,
         "quantized_base": quantize, "remat_policy": remat_policy,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
+        "rng_impl": rng_impl,
     }
 
 
 def _candidates():
-    # Ordered by likelihood of fitting one v5e chip (16 GB): the 3B variant
-    # is the single-chip flagship (7B bf16 params alone are 13.5 GB and the
-    # tunneled chip OOMs even at batch 1); 7B+ runs sharded via the mesh.
+    # Ordered by likelihood of fitting one v5e chip (16 GB): the 7B-int8
+    # flagship runs with the round-2 tuned recipe (qkvod remat policy =
+    # save the narrow projection outputs, bf16-in/fp32-acc adapter einsums,
+    # rbg dropout PRNG); 7B bf16 runs FSDP-sharded on >=2 chips.
     from moka_tpu.core.config import LlamaConfig
     return {
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
-                           True),
+                           True, "qkvod", True, "rbg"),
+        "llama2_7b_int8_fullremat": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, True, None,
+            True, "rbg"),
         "llama_3b": (LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
-                                 intermediate=6912), 4, 1024, False),
+                                 intermediate=6912), 4, 1024, False, "qkvod",
+                     True, "rbg"),
         "llama_1b": (LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
                                  n_heads=16, n_kv_heads=16,
-                                 intermediate=5504), 8, 1024, False),
+                                 intermediate=5504), 8, 1024, False, "qkvod",
+                     True, "rbg"),
     }
 
 
 def run_one(name: str) -> None:
-    cfg, b, L, quant = _candidates()[name]
-    print(json.dumps(run(name, cfg, b, L, quantize=quant)))
+    cfg, b, L, quant, pol, bf16, rng_impl = _candidates()[name]
+    print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
+                         bf16_dots=bf16, rng_impl=rng_impl)))
 
 
 def main():

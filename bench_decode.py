@@ -23,10 +23,14 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
     from moka_tpu.models import llama
     from moka_tpu.ops.moka import MokaSpec
 
-    cfg, _, _ = _candidates()[cfg_name]
+    cfg = _candidates()[cfg_name][0]
     spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
     r1, r2 = jax.random.split(jax.random.key(0))
-    base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    if "int8" in cfg_name:
+        from moka_tpu.ops.quant import init_llama_params_quantized
+        base = init_llama_params_quantized(r1, cfg)
+    else:
+        base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     adapters = llama.init_moka_adapters(r2, cfg, spec)
 
     rng = np.random.default_rng(0)
@@ -71,5 +75,5 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "llama_3b",
-         paged="--paged" in sys.argv)
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv)

@@ -13,7 +13,7 @@ import sys
 RESULTS = "/tmp/sweep.jsonl"
 
 VARIANTS = {
-    # name: (batch, seqlen, remat_policy, bf16_dots, fused_moka)
+    # name: (batch, seqlen, remat_policy, bf16_dots, fused_moka[, rng_impl])
     "base":            (4, 1024, None,   False, False),
     "attn":            (4, 1024, "attn", False, False),
     "qkv":             (4, 1024, "qkv",  False, False),
@@ -29,16 +29,23 @@ VARIANTS = {
     "b8_bf16_attn":    (8, 1024, "attn", True,  False),
     "b8_bf16_fusedk":  (8, 1024, None,   True,  True),
     "b8_bf16_mlp":     (8, 1024, "mlp",  True,  False),
+    "bf16_qkvod":      (4, 1024, "qkvod", True, False),
+    "bf16_qkvod_b6":   (6, 1024, "qkvod", True, False),
+    "bf16_qkvod_rbg":  (4, 1024, "qkvod", True, False, "rbg"),
+    "bf16_qkvod_urbg": (4, 1024, "qkvod", True, False, "unsafe_rbg"),
 }
 
 
 def run_one(name):
     import bench
     from moka_tpu.core.config import LlamaConfig
-    b, L, pol, bf16, fused = VARIANTS[name]
+    v = VARIANTS[name]
+    b, L, pol, bf16, fused = v[:5]
+    rng_impl = v[5] if len(v) > 5 else None
     cfg = LlamaConfig.llama2_7b(vocab_size=32011)
     out = bench.run("llama2_7b_int8", cfg, b, L, quantize=True,
-                    remat_policy=pol, bf16_dots=bf16, fused_moka=fused)
+                    remat_policy=pol, bf16_dots=bf16, fused_moka=fused,
+                    rng_impl=rng_impl)
     out["variant"] = name
     print(json.dumps(out))
 

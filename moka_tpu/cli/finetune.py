@@ -44,6 +44,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "lets 7B fit one 16GB chip")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
                    help="'tiny' = small random-init model for smoke tests")
+    p.add_argument("--remat-policy", default="auto",
+                   help="per-layer remat policy (see llama._remat_policy); "
+                        "'auto' = 'qkvod' for 7b (the tuned single-chip "
+                        "recipe), full remat for tiny")
+    p.add_argument("--rng-impl", default="rbg",
+                   help="dropout PRNG ('rbg' = fast TPU RngBitGenerator, "
+                        "'threefry2x32' = jax default)")
+    p.add_argument("--adapter-fp32", action="store_true",
+                   help="true-fp32 adapter einsums (default: bf16-in/"
+                        "fp32-acc, the tuned recipe)")
     return p
 
 
@@ -80,6 +90,13 @@ def main(argv=None):
     spec = MokaSpec.avt(rank=args.lora_r, lora_alpha=args.lora_alpha,
                         blc_weight=args.blc_weight,
                         dropout_rate=args.lora_dropout)
+    if not args.adapter_fp32:
+        spec = spec.with_bf16_dots()
+    remat_policy = args.remat_policy
+    if remat_policy == "auto":
+        remat_policy = "qkvod" if args.model_preset == "7b" else None
+    elif remat_policy in ("none", "full"):
+        remat_policy = None
     tok = load_tokenizer(args.tokenizer_json)
     if args.model_preset == "tiny":
         base = unified.UnifiedConfig.tiny(spec=spec)
@@ -129,9 +146,15 @@ def main(argv=None):
                             (args.al_pretrain, "al_projector", "audio")):
         if flag:
             sd = imp.load_torch(flag)
-            sd.pop("embed_tokens.weight", None)  # finetune.py:138-148
+            # stage-1 artifacts may carry a 'model.' wrapper prefix and the
+            # resized embed rows; both are dropped (finetune.py:138-148)
+            sub = imp.strip_to_submodule(sd, f"{key}.")
+            if not sub:
+                sd.pop("embed_tokens.weight", None)
+                sd.pop("model.embed_tokens.weight", None)
+                sub = sd
             trainable[key] = imp.import_projector(
-                sd, getattr(cfg, key), kind=kind)
+                sub, getattr(cfg, key), kind=kind)
 
     nq_v = cfg.vl_projector.num_query_tokens
     nq_a = cfg.al_projector.num_query_tokens
@@ -152,9 +175,13 @@ def main(argv=None):
                        num_epochs=args.epochs,
                        global_batch_size=args.global_batch,
                        save_every_steps=args.save_steps,
-                       output_dir=args.output_dir, seed=args.seed)
-    trainer = Trainer(unified.unified_loss(cfg, remat=True), trainable,
-                      frozen, tcfg, total_steps, full_config=tcfg)
+                       output_dir=args.output_dir, seed=args.seed,
+                       remat_policy=remat_policy, rng_impl=args.rng_impl)
+    trainer = Trainer(unified.unified_loss(cfg, remat=True,
+                                           remat_policy=remat_policy,
+                                           use_flash=args.model_preset == "7b",
+                                           fused_loss=args.model_preset == "7b"),
+                      trainable, frozen, tcfg, total_steps, full_config=tcfg)
 
     def batches():
         # every host draws the SAME global order (same seed), then loads and

@@ -113,6 +113,9 @@ class TrainConfig:
     grad_accum: int = 1
     seed: int = 42
     remat: bool = True                 # gradient checkpointing per layer
+    remat_policy: str | None = None    # see models.llama._remat_policy
+    rng_impl: str | None = None        # dropout PRNG ('rbg' = fast TPU
+                                       # RngBitGenerator; None = threefry)
     log_every: int = 1
     save_every_steps: int = 0          # 0 = only final
     output_dir: str = "runs/default"

@@ -37,24 +37,18 @@ def positions_from_mask(attn_mask: Array) -> Array:
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
                                              "eos_id", "pad_id",
                                              "use_flash", "paged_decode"))
-def greedy_generate(base: dict, adapters: dict | None, *,
-                    cfg: LlamaConfig, spec: MokaSpec | None,
-                    inputs_embeds: Array, prompt_mask: Array,
-                    masks: llama.MaskBundle | None,
-                    max_new_tokens: int, eos_id: int, pad_id: int = 0,
-                    use_flash: bool = False, paged_decode: bool = False):
-    """Greedy decode (the eval drivers all use greedy generate —
-    ``mmbench.py:641``, ``inference_cut.py:66``).
-
-    Args:
-      inputs_embeds: (b, L, d) left-padded prompt embeddings (multimodal
-        features already spliced in).
-      prompt_mask: (b, L) 0/1 valid-prompt-token mask.
-      masks: modality masks over the prompt (or None for text-only).
-      Returns (b, max_new_tokens) int32 tokens, pad_id after eos.
-    """
+def _greedy_generate(base: dict, adapters: dict | None, *,
+                     cfg: LlamaConfig, spec: MokaSpec | None,
+                     inputs_embeds: Array, prompt_mask: Array,
+                     masks: llama.MaskBundle | None,
+                     max_new_tokens: int, eos_id: int, pad_id: int = 0,
+                     use_flash: bool = False, paged_decode: bool = False):
     b, L, _ = inputs_embeds.shape
     S = L + max_new_tokens
+    if paged_decode:
+        # the paged kernel DMAs fixed-size blocks; round the allocation up
+        # (invalid tail slots are masked by cache_mask/length)
+        S = -(-S // 256) * 256
 
     cache = llama.init_kv_cache(cfg, b, S, dtype=inputs_embeds.dtype)
     cache_mask = jnp.pad(prompt_mask, ((0, 0), (0, max_new_tokens)))
@@ -90,3 +84,40 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         step, (next_tok, cache, cache_mask, done0),
         jnp.arange(max_new_tokens))
     return toks.T  # (b, max_new_tokens)
+
+
+def greedy_generate(base: dict, adapters: dict | None, *,
+                    cfg: LlamaConfig, spec: MokaSpec | None,
+                    inputs_embeds: Array, prompt_mask: Array,
+                    masks: llama.MaskBundle | None,
+                    max_new_tokens: int, eos_id: int, pad_id: int = 0,
+                    use_flash: bool | None = None,
+                    paged_decode: bool | None = None):
+    """Greedy decode (the eval drivers all use greedy generate —
+    ``mmbench.py:641``, ``inference_cut.py:66``).
+
+    Args:
+      inputs_embeds: (b, L, d) left-padded prompt embeddings (multimodal
+        features already spliced in).
+      prompt_mask: (b, L) 0/1 valid-prompt-token mask.
+      masks: modality masks over the prompt (or None for text-only).
+      use_flash: Pallas flash attention for the prefill (measured faster at
+        eval shapes — PERFORMANCE.md decode table).  ``None`` = auto: on
+        for TPU backends, off elsewhere (the kernel needs interpret mode on
+        CPU).
+      paged_decode: length-aware block attention for the decode steps
+        (reads only the valid cache prefix — ``ops/paged_decode.py``;
+        measured +9% decode throughput at 3B/b8/S1024, more at longer
+        caches).  ``None`` = auto: on for TPU, off elsewhere (the block
+        loop only pays where HBM bandwidth is the decode bound).
+      Returns (b, max_new_tokens) int32 tokens, pad_id after eos.
+    """
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if paged_decode is None:
+        paged_decode = jax.default_backend() == "tpu"
+    return _greedy_generate(
+        base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
+        prompt_mask=prompt_mask, masks=masks,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
+        use_flash=use_flash, paged_decode=paged_decode)

@@ -255,6 +255,12 @@ def _remat_policy(name: str | None):
         return save("attn_out")
     if name == "qkv":
         return save("attn_out", "proj_q", "proj_k", "proj_v")
+    if name == "qkvod":
+        # all the narrow (d-out = dim) projections; skips ~55% of the
+        # recompute for ~6 GB at 7B b4xL1024 — the widest save set that
+        # still fits one 16 GB chip beside the int8 base
+        return save("attn_out", "proj_q", "proj_k", "proj_v", "proj_o",
+                    "proj_down")
     if name == "mlp":
         return save("attn_out", "proj_gate", "proj_up")
     if name == "proj":

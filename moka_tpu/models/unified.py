@@ -169,10 +169,12 @@ def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
 
 def unified_loss(cfg: UnifiedConfig, remat: bool = True,
                  train_adapters: bool = True, use_flash: bool = False,
-                 fused_loss: bool = False):
+                 fused_loss: bool = False,
+                 remat_policy: str | None = None):
     """Loss closure for the generic train step.  ``train_adapters=False`` =
     stage-1 pretraining (plain-linear twin: no adapter deltas at all,
-    ``modeling_llama_post_pretrian.py``)."""
+    ``modeling_llama_post_pretrian.py``).  ``remat_policy``: see
+    ``llama._remat_policy`` ('qkvod' is the tuned 7B single-chip recipe)."""
 
     def loss_fn(trainable, frozen, batch, rng):
         embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
@@ -184,7 +186,8 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
             frozen["llama"], cfg.llama, adapters=adapters, spec=spec,
             inputs_embeds=embeds, masks=masks if adapters is not None else None,
             attn_mask=batch["attn_mask"], positions=batch["positions"],
-            remat=remat, use_flash=use_flash, logits=not fused_loss,
+            remat=remat, remat_policy=remat_policy, use_flash=use_flash,
+            logits=not fused_loss,
             dropout_rng=rng if (spec and spec.dropout_rate > 0) else None)
         if fused_loss:
             loss = llama.chunked_cross_entropy(

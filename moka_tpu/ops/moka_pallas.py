@@ -86,7 +86,17 @@ def _fused_fwd(x, lora_a, lora_b, modality_masks, question_mask, spec,
                block, interpret):
     b, L, d_in = x.shape
     r, d_out = lora_b.shape
-    blk = min(block, L)
+    # VMEM sizing: with Pallas double-buffering, a block costs roughly
+    # 2*x_in + 2*out + fp32 compute; at 7B's wide projections (11008) a
+    # 256-token block needs ~20-40 MB — over the compiler's default 16 MB
+    # scoped limit but comfortably inside the chip's 128 MB VMEM, so the
+    # limit is raised below and the block only shrinks for truly huge rows.
+    budget = 48 * 1024 * 1024
+    per_token = (2 * d_in * x.dtype.itemsize + 2 * d_out * x.dtype.itemsize
+                 + d_out * 4)
+    fit = max(128, 1 << ((budget // per_token).bit_length() - 1))
+    blk = min(block, L, fit)
+    vmem_limit = 100 * 1024 * 1024
     Lp = -(-L // blk) * blk
     if Lp != L:
         x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
@@ -115,7 +125,8 @@ def _fused_fwd(x, lora_a, lora_b, modality_masks, question_mask, spec,
         out_specs=pl.BlockSpec((1, blk, d_out), lambda bi, ti: (bi, ti, 0)),
         out_shape=jax.ShapeDtypeStruct((b, Lp, d_out), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(x, modality_masks.transpose(1, 0, 2).astype(jnp.float32),
       question_mask[:, None, :].astype(jnp.float32),

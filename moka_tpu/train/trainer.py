@@ -69,8 +69,9 @@ class Trainer:
         self.frozen = frozen
         self.tx = make_optimizer(cfg, total_steps)
         self.step_fn = make_train_step(loss_fn, self.tx)
-        self.state = init_train_state(trainable, self.tx,
-                                      jax.random.key(cfg.seed))
+        key = jax.random.key(cfg.seed) if cfg.rng_impl is None else \
+            jax.random.key(cfg.seed, impl=cfg.rng_impl)
+        self.state = init_train_state(trainable, self.tx, key)
         self.total_steps = total_steps
         self.out_dir = cfg.output_dir
         self.is_main = jax.process_index() == 0
