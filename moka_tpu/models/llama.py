@@ -149,6 +149,7 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    use_fused_moka: bool, paged_decode: bool,
+                   context_parallel,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
                    attn_mask: Array | None,
@@ -213,7 +214,17 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     else:
         k_all, v_all = k, v
 
-    if use_flash:
+    if context_parallel is not None and cache_k is None:
+        # context parallelism: sequence sharded over a mesh axis, k/v
+        # rotated around the ICI ring (the modality masks and the MokA
+        # rank attention stay under GSPMD auto-sharding — the (b, L, r)
+        # question keys are tiny and all-gather for free)
+        from moka_tpu.parallel.ring_attention import make_ring_attention
+        cp_mesh, cp_axis = context_parallel
+        ring = make_ring_attention(cp_mesh, cp_axis)
+        attn = ring(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
+                    attn_mask)
+    elif use_flash:
         from moka_tpu.ops.flash_attention import flash_mha
         qoff = cache_index if cache_index is not None else 0
         attn = flash_mha(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
@@ -290,15 +301,23 @@ def forward(base: dict, cfg: LlamaConfig, *,
             logits: bool = True,
             use_flash: bool = False,
             use_fused_moka: bool = False,
-            paged_decode: bool = False):
+            paged_decode: bool = False,
+            context_parallel=None):
     """Full decoder forward.
 
     attn_mask: (b, S) valid-key mask over the *attention span* (the current
       sequence for cache-less calls; the whole cache for cached calls).
     positions: (b, L) RoPE positions of the current tokens (defaults to
       arange).
+    context_parallel: optional (Mesh, axis_name) — shard the sequence over
+      that mesh axis and run attention as a k/v ring over ICI
+      (``parallel/ring_attention.py``).  Training/prefill only (no cache);
+      composes with remat and the MokA masks.  Supersedes ``use_flash``.
     Returns (logits_or_hidden, new_cache).
     """
+    if context_parallel is not None and cache is not None:
+        raise ValueError("context_parallel is a training/prefill path; "
+                         "cached decode is not sequence-sharded")
     if inputs_embeds is None:
         inputs_embeds = jnp.take(base["embed"], tokens, axis=0)
     h = inputs_embeds
@@ -331,7 +350,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
         bias = None if use_flash else causal_bias(attn_mask, L, L)
 
     layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
-                                 use_fused_moka, paged_decode)
+                                 use_fused_moka, paged_decode,
+                                 context_parallel)
     if remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(), policy=_remat_policy(remat_policy))

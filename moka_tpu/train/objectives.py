@@ -16,7 +16,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          remat: bool = True, use_flash: bool = False,
                          fused_loss: bool = False,
                          remat_policy: str | None = None,
-                         use_fused_moka: bool = False):
+                         use_fused_moka: bool = False,
+                         context_parallel=None):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -24,7 +25,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
     ``question_mask`` (b, L), ``attn_mask`` (b, L), ``positions`` (b, L).
     use_flash: Pallas flash attention; fused_loss: chunked lm_head+CE;
     remat_policy: see ``llama._remat_policy``; use_fused_moka: the fused
-    Pallas adapter kernel (dropout applied outside the kernel).
+    Pallas adapter kernel (dropout applied outside the kernel);
+    context_parallel: (Mesh, axis) for ring-attention sequence sharding.
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -41,7 +43,7 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             remat_policy=remat_policy,
             dropout_rng=rng if spec.dropout_rate > 0 else None,
             logits=not fused_loss, use_flash=use_flash,
-            use_fused_moka=use_fused_moka)
+            use_fused_moka=use_fused_moka, context_parallel=context_parallel)
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
                                                batch["labels"])

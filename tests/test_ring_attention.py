@@ -54,3 +54,69 @@ def test_ring_grads_match():
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
                                    atol=3e-4)
+
+
+def test_context_parallel_decoder_forward_and_grads():
+    """Ring attention INSIDE llama.forward (context_parallel=(mesh,'seq')):
+    logits and adapter grads match the dense single-device path, with
+    modality masks and remat composing (VERDICT r1 item 5)."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from moka_tpu.core.config import LlamaConfig
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.train.objectives import make_llama_moka_loss
+
+    devices = jax.devices()
+    if len(devices) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = Mesh(np.asarray(devices[:4]), ("seq",))
+
+    cfg = LlamaConfig.tiny(vocab_size=128, n_layers=2)
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
+    r1, r2 = jax.random.split(jax.random.key(0))
+    frozen = llama.init_llama_params(r1, cfg, dtype=jnp.float32)
+    trainable = {"adapters": jax.tree.map(
+        lambda x: x + 0.1 * jax.random.normal(jax.random.key(5), x.shape),
+        llama.init_moka_adapters(r2, cfg, spec))}
+
+    b, L = 2, 32
+    rng = np.random.default_rng(0)
+    toks = rng.integers(4, 128, (b, L)).astype(np.int32)
+    labels = toks.copy()
+    labels[:, : L // 4] = -100
+    mod = np.zeros((3, b, L), np.float32)
+    mod[0, :, : L // 2] = 1
+    mod[1, :, L // 2: 3 * L // 4] = 1
+    mod[2, :, 3 * L // 4:] = 1
+    qm = np.zeros((b, L), np.float32)
+    qm[:, 2:6] = 1
+    batch = {"tokens": jnp.asarray(toks), "labels": jnp.asarray(labels),
+             "modality_masks": jnp.asarray(mod),
+             "question_mask": jnp.asarray(qm)}
+
+    dense_loss = make_llama_moka_loss(cfg, spec, remat=True)
+    cp_loss = make_llama_moka_loss(cfg, spec, remat=True,
+                                   context_parallel=(mesh, "seq"))
+
+    (want_l, _), want_g = jax.value_and_grad(dense_loss, has_aux=True)(
+        trainable, frozen, batch, jax.random.key(1))
+
+    # shard the sequence axis over the ring
+    seq_sh = {
+        "tokens": NamedSharding(mesh, P(None, "seq")),
+        "labels": NamedSharding(mesh, P(None, "seq")),
+        "modality_masks": NamedSharding(mesh, P(None, None, "seq")),
+        "question_mask": NamedSharding(mesh, P(None, "seq")),
+    }
+    batch_sh = {k: jax.device_put(v, seq_sh[k]) for k, v in batch.items()}
+    (got_l, _), got_g = jax.jit(jax.value_and_grad(cp_loss, has_aux=True))(
+        trainable, frozen, batch_sh, jax.random.key(1))
+
+    np.testing.assert_allclose(float(got_l), float(want_l), rtol=1e-5)
+    flat_w = dict(jax.tree_util.tree_flatten_with_path(want_g)[0])
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(got_g)[0])
+    for k in flat_w:
+        np.testing.assert_allclose(np.asarray(flat_g[k]),
+                                   np.asarray(flat_w[k]), rtol=2e-4,
+                                   atol=2e-5, err_msg=str(k))
