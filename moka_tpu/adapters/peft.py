@@ -220,7 +220,10 @@ def init_adalora(rng: Array, d_in: int, d_out: int,
 
 
 def adalora_delta(p: dict) -> Array:
-    return (p["p"] * (p["lam"] * p["mask"])) @ p["q"]
+    # the 0/1 mask lives in the trainable tree for checkpointing but is NOT
+    # a parameter: stop_gradient keeps the optimizer from drifting it
+    mask = jax.lax.stop_gradient(p["mask"])
+    return (p["p"] * (p["lam"] * mask)) @ p["q"]
 
 
 def adalora_linear(x: Array, w: Array, p: dict) -> Array:
@@ -255,3 +258,120 @@ def adalora_allocate(importances: list[Array], total_budget: int
         masks.append((flat[off:off + n] >= thresh).astype(jnp.float32))
         off += n
     return masks
+
+
+# ------------------------------------------------------------------ Poly --
+
+@dataclasses.dataclass(frozen=True)
+class PolySpec:
+    """Polytropon multi-task routing (reference ``modified_peft/tuners/
+    poly``): a bank of ``n_skills`` LoRA experts per ``n_splits`` feature
+    split, mixed per sample by a task-conditioned router."""
+    n_tasks: int
+    n_skills: int = 4
+    n_splits: int = 1
+    rank: int = 4
+
+
+def init_poly(rng: Array, d_in: int, d_out: int, spec: PolySpec) -> dict:
+    """Upstream init: A kaiming-uniform over the (split-local d_in, r)
+    fan, B zeros, router logits ~ U(-1e-3, 1e-3) (``poly/layer.py``
+    reset_poly_parameters, ``router.py`` reset)."""
+    k1, k2 = jax.random.split(rng)
+    di, do = d_in // spec.n_splits, d_out // spec.n_splits
+    bound = math.sqrt(6.0 / ((1 + 5) * di))  # kaiming_uniform a=sqrt(5)
+    return {
+        "a": jax.random.uniform(k1, (spec.n_splits, spec.n_skills, di,
+                                     spec.rank), minval=-bound,
+                                maxval=bound),
+        "b": jnp.zeros((spec.n_splits, spec.n_skills, spec.rank, do)),
+        "router": jax.random.uniform(k2, (spec.n_tasks,
+                                          spec.n_splits * spec.n_skills),
+                                     minval=-1e-3, maxval=1e-3),
+    }
+
+
+def poly_mixing_weights(router: Array, task_ids: Array, spec: PolySpec,
+                        rng: Array | None = None) -> Array:
+    """(b, n_splits, n_skills) normalized skill weights.
+
+    Eval: sigmoid(logits); train (rng given): RelaxedBernoulli(temp=1)
+    reparametrized sample sigmoid(logits + logistic noise) — upstream
+    ``router.py`` forward."""
+    logits = router[task_ids].reshape(-1, spec.n_splits, spec.n_skills)
+    if rng is not None:
+        u = jax.random.uniform(rng, logits.shape, minval=1e-6,
+                               maxval=1.0 - 1e-6)
+        logits = logits + jnp.log(u) - jnp.log1p(-u)
+    s = jax.nn.sigmoid(logits)
+    return s / (jnp.sum(s, axis=-1, keepdims=True) + 1e-12)
+
+
+def poly_linear(x: Array, w: Array, p: dict, task_ids: Array,
+                spec: PolySpec, rng: Array | None = None) -> Array:
+    """base(x) + x @ A_mix @ B_mix / r with per-sample mixed experts
+    (``poly/layer.py`` forward)."""
+    mw = poly_mixing_weights(p["router"], task_ids, spec, rng)
+    b = x.shape[0]
+    a_mix = jnp.einsum("bqs,qsdr->bqdr", mw, p["a"])
+    b_mix = jnp.einsum("bqs,qsrd->bqrd", mw, p["b"])
+    r = spec.rank
+    a_mix = a_mix.reshape(b, -1, r)                     # (b, d_in, r)
+    b_mix = jnp.swapaxes(b_mix, 1, 2).reshape(b, r, -1)  # (b, r, d_out)
+    delta = jnp.einsum("bld,bdr->blr", x, a_mix)
+    delta = jnp.einsum("blr,brd->bld", delta, b_mix) / r
+    return jnp.einsum("...d,df->...f", x, w) + delta
+
+
+def is_adalora_params(node) -> bool:
+    return isinstance(node, dict) and {"p", "lam", "q", "mask"} <= set(node)
+
+
+def adalora_tree_paths(params) -> list[tuple]:
+    """Key paths of every AdaLoRA param dict inside an arbitrary pytree."""
+    paths = []
+
+    def walk(node, path):
+        if is_adalora_params(node):
+            paths.append(path)
+            return
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + (k,))
+
+    walk(params, ())
+    return paths
+
+
+def adalora_grad_taps(grads):
+    """The lam cotangents of every AdaLoRA subtree (tiny vectors) — tapped
+    out of the train step so the allocator can score importance without a
+    second backward."""
+    return {"/".join(p): _get(grads, p)["lam"]
+            for p in adalora_tree_paths(grads)}
+
+
+def _get(tree, path):
+    for k in path:
+        tree = tree[k]
+    return tree
+
+
+def adalora_update_masks(params, lam_grads: dict, total_budget: int):
+    """Re-allocate the global rank budget from sensitivity scores
+    |lam * dL/dlam| (the AdaLoRA schedule step —
+    ``modified_peft/tuners/adalora`` RankAllocator.update_and_allocate).
+    Returns params with refreshed 0/1 masks."""
+    paths = adalora_tree_paths(params)
+    imps = [adalora_importance(_get(params, p),
+                               {"lam": lam_grads["/".join(p)]})
+            for p in paths]
+    masks = adalora_allocate(imps, total_budget)
+    out = jax.tree.map(lambda x: x, params)  # shallow-ish copy
+    for path, mask in zip(paths, masks):
+        node = out
+        for k in path[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        node[path[-1]] = dict(node[path[-1]], mask=mask)
+    return out

@@ -14,6 +14,8 @@ Both compose with the existing decoder without modifying it:
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -134,3 +136,92 @@ def ln_tuning_merge(trainable_norms: dict, frozen_base: dict) -> dict:
     out["layers"] = layers
     out["final_norm"] = trainable_norms["final_norm"]
     return out
+
+
+# -------------------------------------------- multitask prompt tuning ----
+
+def init_multitask_prompt(rng: Array, cfg: LlamaConfig, n_tokens: int,
+                          n_tasks: int,
+                          embed_table: Array | None = None) -> dict:
+    """Shared soft prompt + per-task rank-1 hadamard factors
+    (``modified_peft/tuners/multitask_prompt_tuning``): the task prompt is
+    ``shared * (task_col @ task_row)``.  Factors init at 1 (identity
+    modulation), matching upstream's RANDOM init path."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "prompt": init_soft_prompt(k1, cfg, n_tokens, embed_table),
+        "task_cols": jnp.ones((n_tasks, n_tokens, 1), jnp.float32),
+        "task_rows": jnp.ones((n_tasks, 1, cfg.dim), jnp.float32),
+    }
+
+
+def multitask_prompt(p: dict, task_ids: Array) -> Array:
+    """(b, n_tokens, dim) per-sample prompts —
+    ``MultitaskPromptEmbedding.forward``."""
+    cols = p["task_cols"][task_ids]          # (b, n, 1)
+    rows = p["task_rows"][task_ids]          # (b, 1, d)
+    return p["prompt"][None] * jnp.matmul(cols, rows)
+
+
+def apply_multitask_prompt(p: dict, task_ids: Array, inputs_embeds: Array,
+                           attn_mask: Array | None = None,
+                           labels: Array | None = None,
+                           positions: Array | None = None):
+    """Per-sample (batched) variant of ``apply_soft_prompt``."""
+    b, L, d = inputs_embeds.shape
+    pre = multitask_prompt(p, task_ids).astype(inputs_embeds.dtype)
+    n = pre.shape[1]
+    embeds = jnp.concatenate([pre, inputs_embeds], axis=1)
+    if attn_mask is not None:
+        attn_mask = jnp.concatenate(
+            [jnp.ones((b, n), attn_mask.dtype), attn_mask], axis=1)
+    if labels is not None:
+        labels = jnp.concatenate(
+            [jnp.full((b, n), IGNORE, labels.dtype), labels], axis=1)
+    if positions is not None:
+        positions = jnp.concatenate(
+            [jnp.broadcast_to(jnp.arange(n), (b, n)), positions + n],
+            axis=1)
+    return embeds, attn_mask, labels, positions
+
+
+# ------------------------------------------------- adaption prompt -------
+
+def init_adaption_prompt(rng: Array, cfg: LlamaConfig, adapter_len: int,
+                         adapter_layers: int) -> dict:
+    """LLaMA-Adapter (``modified_peft/tuners/adaption_prompt``, also in the
+    AVT ``peft_hyper/tuners/adaption_prompt.py``): per adapted layer, a
+    learnable prompt of ``adapter_len`` tokens (standard-normal init) and a
+    zero-init gate.  Applied to the TOP ``adapter_layers`` layers."""
+    return {
+        "prompt": jax.random.normal(
+            rng, (adapter_layers, adapter_len, cfg.dim)),
+        "gate": jnp.zeros((adapter_layers,), jnp.float32),
+    }
+
+
+def adaption_prompt_delta(q: Array, prompt: Array, gate: Array,
+                          k_w: Array, v_w: Array, o_w: Array) -> Array:
+    """The additive attention output of one adapted layer
+    (``adaption_prompt/layer.py`` AdaptedAttention.forward):
+
+      k_a = k_proj(prompt); v_a = v_proj(prompt)     (NO RoPE — the prompt
+                                                      is position-free)
+      out += o_proj( gate * softmax(q k_a^T / sqrt(hd)) v_a )
+
+    q: (b, L, H, hd) ROTATED query states (upstream recomputes them with
+    positions applied); k_w/v_w: (dim, K*hd); o_w: (H*hd, dim);
+    prompt: (adapter_len, dim); gate: scalar.  Returns (b, L, dim)."""
+    b, L, H, hd = q.shape
+    al = prompt.shape[0]
+    k_a = (prompt @ k_w).reshape(al, -1, hd)        # (al, K, hd)
+    v_a = (prompt @ v_w).reshape(al, -1, hd)
+    K = k_a.shape[1]
+    G = H // K
+    k_a = jnp.repeat(k_a, G, axis=1)                # GQA -> (al, H, hd)
+    v_a = jnp.repeat(v_a, G, axis=1)
+    s = jnp.einsum("blhd,ahd->bhla", q, k_a,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    probs = gate * jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhla,ahd->blhd", probs.astype(q.dtype), v_a)
+    return out.reshape(b, L, H * hd) @ o_w

@@ -118,6 +118,9 @@ class TrainConfig:
                                        # RngBitGenerator; None = threefry)
     log_every: int = 1
     save_every_steps: int = 0          # 0 = only final
+    adalora_budget: int = 0            # >0 enables the AdaLoRA rank
+                                       # allocator over any adalora params
+    adalora_update_every: int = 100
     output_dir: str = "runs/default"
 
 

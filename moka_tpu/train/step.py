@@ -36,9 +36,11 @@ def init_train_state(params, tx: optax.GradientTransformation,
 
 
 def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, grad_taps: Callable | None = None):
     """loss_fn(trainable, frozen, batch, rng) -> (loss, metrics_dict).
 
+    grad_taps(grads) -> small pytree surfaced as metrics["grad_taps"]
+    (e.g. AdaLoRA lam cotangents for the rank allocator).
     Returns jitted step(state, frozen, batch) -> (state, metrics)."""
 
     def step(state: TrainState, frozen, batch):
@@ -50,6 +52,8 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        if grad_taps is not None:
+            metrics["grad_taps"] = grad_taps(grads)
         new_state = TrainState(step=state.step + 1, params=params,
                                opt_state=opt_state, rng=rng)
         return new_state, metrics

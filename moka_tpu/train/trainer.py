@@ -11,6 +11,7 @@ rank-0 gating, introspection dumps (trainable param names/counts a la
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -68,7 +69,11 @@ class Trainer:
         self.cfg = cfg
         self.frozen = frozen
         self.tx = make_optimizer(cfg, total_steps)
-        self.step_fn = make_train_step(loss_fn, self.tx)
+        taps = None
+        if cfg.adalora_budget > 0:
+            from moka_tpu.adapters.peft import adalora_grad_taps
+            taps = adalora_grad_taps
+        self.step_fn = make_train_step(loss_fn, self.tx, grad_taps=taps)
         key = jax.random.key(cfg.seed) if cfg.rng_impl is None else \
             jax.random.key(cfg.seed, impl=cfg.rng_impl)
         self.state = init_train_state(trainable, self.tx, key)
@@ -106,6 +111,17 @@ class Trainer:
             self.state, metrics = self.step_fn(self.state, self.frozen,
                                                batch)
             step += 1
+            taps = metrics.pop("grad_taps", None)
+            if taps is not None and \
+                    step % self.cfg.adalora_update_every == 0:
+                # AdaLoRA schedule step: re-allocate the global rank budget
+                # from this step's sensitivity scores (RankAllocator
+                # equivalent, reference tuners/adalora)
+                from moka_tpu.adapters.peft import adalora_update_masks
+                self.state = dataclasses.replace(
+                    self.state, params=adalora_update_masks(
+                        self.state.params, jax.device_get(taps),
+                        self.cfg.adalora_budget))
             if profile_steps and step == profile_steps[1] and self.is_main:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
