@@ -43,7 +43,8 @@ def _img_from_pil(img, size=224) -> np.ndarray:
 
 
 class MMBenchDataset:
-    def __init__(self, tsv_path: str):
+    def __init__(self, tsv_path: str, image_size: int = 224):
+        self.image_size = image_size
         import pandas as pd
         self.df = pd.read_csv(tsv_path, sep="\t")
 
@@ -81,7 +82,7 @@ class MMBenchDataset:
         return {
             "prompt": final_question,
             "answer": self._get(idx, "answer"),
-            "image": _img_from_pil(img),
+            "image": _img_from_pil(img, self.image_size),
             "meta": {"index": int(row["index"]) if "index" in self.df.columns
                      else idx, "subtask": "mmbench", "image_path": None,
                      "question": final_question},
@@ -89,7 +90,8 @@ class MMBenchDataset:
 
 
 class MMEDataset:
-    def __init__(self, data_root: str):
+    def __init__(self, data_root: str, image_size: int = 224):
+        self.image_size = image_size
         self.samples = []
         for subtask in sorted(os.listdir(data_root)):
             subdir = os.path.join(data_root, subtask)
@@ -123,7 +125,7 @@ class MMEDataset:
                   "Please answer this question with yes or no, and no other "
                   "content. Question: " + s["question"])
         return {"prompt": prompt, "answer": s["answer"],
-                "image": _img_from_pil(img),
+                "image": _img_from_pil(img, self.image_size),
                 "meta": {"subtask": s["subtask"],
                          "image_path": s["image_path"],
                          "question": s["question"]}}
@@ -132,13 +134,15 @@ class MMEDataset:
 class POPEDataset:
     """POPE rows: {question, answer, image (PIL), image_source}."""
 
-    def __init__(self, rows):
+    def __init__(self, rows, image_size: int = 224):
+        self.image_size = image_size
         self.rows = rows
 
     @staticmethod
-    def from_hf(path: str) -> "POPEDataset":
+    def from_hf(path: str, image_size: int = 224) -> "POPEDataset":
         from datasets import load_dataset
-        return POPEDataset(load_dataset(path=path)["test"])
+        return POPEDataset(load_dataset(path=path)["test"],
+                           image_size=image_size)
 
     @staticmethod
     def from_jsonl(path: str, image_root: str) -> "POPEDataset":
@@ -165,7 +169,7 @@ class POPEDataset:
                   "Please answer this question with yes or no, and no other "
                   "content. Question: " + s["question"])
         return {"prompt": prompt, "answer": s["answer"],
-                "image": _img_from_pil(img),
+                "image": _img_from_pil(img, self.image_size),
                 "meta": {"subtask": "pope",
                          "image_path": s.get("image_source",
                                              s.get("image_path", "")),
@@ -173,7 +177,9 @@ class POPEDataset:
 
 
 class SEEDDataset:
-    def __init__(self, json_path: str, image_root: str):
+    def __init__(self, json_path: str, image_root: str,
+                 image_size: int = 224):
+        self.image_size = image_size
         with open(json_path) as f:
             self.samples = json.load(f)["questions"]
         self.image_root = image_root
@@ -192,7 +198,7 @@ class SEEDDataset:
         from PIL import Image
         img = Image.open(os.path.join(self.image_root, s["data_id"]))
         return {"prompt": inst, "answer": s["answer"],
-                "image": _img_from_pil(img),
+                "image": _img_from_pil(img, self.image_size),
                 "meta": {"subtask": "seed", "image_path": s["data_id"],
                          "question": inst}}
 

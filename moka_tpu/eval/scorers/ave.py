@@ -88,9 +88,16 @@ def score_rows(rows: list[dict], mapping: dict) -> dict:
                 pre[c] = mapping[pred_event]
             c += 1
 
+    # "accuracy" reproduces the reference quirk exactly (ave_eval.py:23,
+    # N = rows*10 with invalid rows leaving 0==0 tail matches that COUNT as
+    # correct).  That is only meaningful on the full test set; for partial
+    # shards "accuracy_valid_frames" scores the frames actually written.
     acc = float(np.mean(real == pre)) if n else 0.0
+    acc_valid = float(np.mean(real[:c] == pre[:c])) if c else 0.0
     return {"accuracy": acc, "valid": nums, "total": len(rows),
-            "frames_scored": c}
+            "frames_scored": c,
+            "accuracy_valid_frames": acc_valid,
+            "tail_assumed_correct": n - c}
 
 
 def score_file(path: str, annotations_path: str) -> dict:

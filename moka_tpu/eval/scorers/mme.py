@@ -29,11 +29,21 @@ def parse_pred_ans(pred_ans: str) -> str:
 
 def score_rows(rows: list[dict]) -> dict:
     """Note on the published number: the reference README reports
-    MME_perception 1105.51, but its released ``merged.jsonl`` scores 1139.14
-    under the official MME protocol (group the two questions of each image,
-    acc_plus over images) for every parsing variant we tried; the shards also
-    contain DistributedSampler wrap-around duplicates, which we dedupe here.
-    The README figure appears to come from a different run/conversion."""
+    MME_perception 1105.51, but its released ``merged.jsonl`` does not
+    reproduce it under ANY of the reference's own paths (round-2 recheck):
+
+      * this scorer (official prefix parse_pred_ans + per-image acc_plus,
+        deduped): 1139.14;
+      * the reference's literal ``eval_mme.py`` txt conversion — substring
+        'yes' anywhere -> yes, else 'no' (its ``elif ('no' or 'not' in
+        predict)`` is always truthy), odd-row-per-image dropping, pair
+        chunking — then the official calculation: 1138.15;
+      * deduping wrap-around rows first: removes 2 of 2376 rows, same
+        score.
+
+    The released predictions are therefore from a different run than the
+    README table; 1139.14 is pinned as the golden value for THESE
+    predictions (tests/test_scorers_golden.py)."""
     seen = set()
     by_task = defaultdict(lambda: defaultdict(list))
     for r in rows:

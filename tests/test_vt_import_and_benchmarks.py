@@ -109,3 +109,46 @@ def test_seed_dataset(tmp_path):
     ds = SEEDDataset(str(tmp_path / "seed.json"), str(tmp_path / "imgs"))
     it = ds[0]
     assert "(A) 1" in it["prompt"] and "(D) 4" in it["prompt"]
+
+
+def test_eval_vt_cli_seed_scored_in_one_invocation(tmp_path):
+    """VERDICT r1 item 8: cli/eval_vt.py on a synthetic SEED dataset
+    produces per-rank shards AND the merged scored JSON in one invocation
+    (auto-merge + host barrier + scorer), tiny random-init model."""
+    import os
+    from PIL import Image
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    words = ("this is an image question what color options answer with "
+             "the option letter ( ) a b c d 1 2 3 4 : . ▁").split()
+    for w in words:
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok_path = str(tmp_path / "tokenizer.json")
+    tok.save(tok_path)
+
+    (tmp_path / "imgs").mkdir()
+    qs = []
+    for i in range(4):
+        Image.new("RGB", (32, 32), color=(i * 50, 0, 0)).save(
+            tmp_path / "imgs" / f"img{i}.png")
+        qs.append({"question": "what color", "answer": "ABCD"[i % 4],
+                   "choice_a": "1", "choice_b": "2", "choice_c": "3",
+                   "choice_d": "4", "data_id": f"img{i}.png"})
+    seed_json = str(tmp_path / "seed.json")
+    with open(seed_json, "w") as f:
+        json.dump({"questions": qs}, f)
+
+    from moka_tpu.cli.eval_vt import main
+    out_dir = str(tmp_path / "out")
+    main(["--task", "seed", "--tokenizer-json", tok_path,
+          "--data", seed_json, "--image-root", str(tmp_path / "imgs"),
+          "--output-dir", out_dir, "--model-preset", "tiny",
+          "--batch-size", "2", "--pad-to", "128", "--max-new-tokens", "3"])
+
+    assert os.path.exists(os.path.join(out_dir, "result_rank0_seed.jsonl"))
+    scores = json.load(open(os.path.join(out_dir, "scores_seed.json")))
+    assert "accuracy" in scores and 0.0 <= scores["accuracy"] <= 1.0
+    assert scores["total"] == 4
