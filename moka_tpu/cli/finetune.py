@@ -42,8 +42,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quantize-base", action="store_true",
                    help="int8 weight-only frozen base (QLoRA-style); "
                         "lets 7B fit one 16GB chip")
-    p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
-                   help="'tiny' = small random-init model for smoke tests")
+    p.add_argument("--model-preset",
+                   choices=["7b", "13b", "34b", "70b", "tiny"], default="7b",
+                   help="LLaMA base size ('tiny' = small random-init model "
+                        "for smoke tests)")
+    p.add_argument("--host-offload", action="store_true",
+                   help="place the (sharded) frozen base in pinned host "
+                        "memory (ZeRO-3 param-offload analog for 100B-class "
+                        "bases, zero_stage3_config_100b_1e7_offload.json)")
     p.add_argument("--remat-policy", default="auto",
                    help="per-layer remat policy (see llama._remat_policy); "
                         "'auto' = 'qkvod' for 7b (the tuned single-chip "
@@ -94,7 +100,7 @@ def main(argv=None):
         spec = spec.with_bf16_dots()
     remat_policy = args.remat_policy
     if remat_policy == "auto":
-        remat_policy = "qkvod" if args.model_preset == "7b" else None
+        remat_policy = None if args.model_preset == "tiny" else "qkvod"
     elif remat_policy in ("none", "full"):
         remat_policy = None
     tok = load_tokenizer(args.tokenizer_json)
@@ -104,8 +110,12 @@ def main(argv=None):
         cfg = _dc.replace(base, llama=_dc.replace(
             base.llama, vocab_size=max(tok.vocab_size, base.llama.vocab_size)))
     else:
-        cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size,
-                                           spec=spec)
+        from moka_tpu.core.config import LlamaConfig
+        lcfg = {"7b": LlamaConfig.llama2_7b, "13b": LlamaConfig.llama2_13b,
+                "34b": LlamaConfig.llama_34b,
+                "70b": LlamaConfig.llama2_70b}[args.model_preset](
+            vocab_size=tok.vocab_size)
+        cfg = unified.UnifiedConfig.avt(lcfg, spec=spec)
 
     # frozen towers from reference checkpoints (random init if absent —
     # debug/smoke mode)
@@ -134,7 +144,8 @@ def main(argv=None):
         if args.quantize_base:
             from moka_tpu.ops.quant import quantize_llama_base
             frozen["llama"] = quantize_llama_base(frozen["llama"])
-    frozen = shardlib.shard_params(mesh, frozen)
+    frozen = shardlib.shard_params(mesh, frozen,
+                                   host_offload=args.host_offload)
     if jax.process_index() == 0:
         q_leaf = frozen["llama"]["layers"]["q"]
         q_arr = q_leaf["w_i8"] if isinstance(q_leaf, dict) else q_leaf
@@ -158,7 +169,7 @@ def main(argv=None):
 
     nq_v = cfg.vl_projector.num_query_tokens
     nq_a = cfg.al_projector.num_query_tokens
-    n_frames = 10 if args.model_preset == "7b" else 2
+    n_frames = 2 if args.model_preset == "tiny" else 10
     ds = UnifiedDataset(tok.as_tokenize(), mode="train",
                         avqa_annotation=args.avqa_annotation,
                         ave_annotation=args.ave_annotation,
@@ -179,8 +190,8 @@ def main(argv=None):
                        remat_policy=remat_policy, rng_impl=args.rng_impl)
     trainer = Trainer(unified.unified_loss(cfg, remat=True,
                                            remat_policy=remat_policy,
-                                           use_flash=args.model_preset == "7b",
-                                           fused_loss=args.model_preset == "7b"),
+                                           use_flash=args.model_preset != "tiny",
+                                           fused_loss=args.model_preset != "tiny"),
                       trainable, frozen, tcfg, total_steps, full_config=tcfg)
 
     def batches():

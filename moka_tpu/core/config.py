@@ -57,6 +57,14 @@ class LlamaConfig:
                            n_heads=40, n_kv_heads=40, intermediate=13824)
 
     @staticmethod
+    def llama_34b(vocab_size: int = 32000) -> "LlamaConfig":
+        """CodeLlama-34B dims — the 34B base the reference's ZeRO-3 stage
+        configs target (``zero_stage3_config_70b.json`` family)."""
+        return LlamaConfig(vocab_size=vocab_size, dim=8192, n_layers=48,
+                           n_heads=64, n_kv_heads=8, intermediate=22016,
+                           max_seq_len=4096, rope_theta=1e6)
+
+    @staticmethod
     def llama2_70b(vocab_size: int = 32000) -> "LlamaConfig":
         return LlamaConfig(vocab_size=vocab_size, dim=8192, n_layers=80,
                            n_heads=64, n_kv_heads=8, intermediate=28672,

@@ -45,16 +45,24 @@ class UnifiedConfig:
     select_layers: tuple[int, ...] = (14, 23)
 
     @staticmethod
-    def avt_7b(vocab_size: int = 32011, spec: MokaSpec | None = None
-               ) -> "UnifiedConfig":
+    def avt(llama: LlamaConfig, spec: MokaSpec | None = None
+            ) -> "UnifiedConfig":
+        """AVT stack over an arbitrary LLaMA base (7B/13B/34B/70B presets,
+        the reference's stage-3 config ladder)."""
         return UnifiedConfig(
-            llama=LlamaConfig.llama2_7b(vocab_size=vocab_size),
+            llama=llama,
             clip=ClipVitConfig.vit_l_14(),
             beats=BeatsConfig(),
-            vl_projector=ProjectorConfig.visual(d_model=4096),
-            al_projector=ProjectorConfig.audio(d_model=4096),
+            vl_projector=ProjectorConfig.visual(d_model=llama.dim),
+            al_projector=ProjectorConfig.audio(d_model=llama.dim),
             spec=spec if spec is not None else MokaSpec.avt(rank=4),
         )
+
+    @staticmethod
+    def avt_7b(vocab_size: int = 32011, spec: MokaSpec | None = None
+               ) -> "UnifiedConfig":
+        return UnifiedConfig.avt(LlamaConfig.llama2_7b(
+            vocab_size=vocab_size), spec)
 
     @staticmethod
     def tiny(spec: MokaSpec | None = None) -> "UnifiedConfig":

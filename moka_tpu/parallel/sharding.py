@@ -66,16 +66,26 @@ def _path_str(path) -> str:
     return "/".join(out)
 
 
-def param_shardings(mesh: Mesh, params) -> dict:
-    """NamedSharding pytree matching ``params`` (works on shapes or arrays)."""
+def param_shardings(mesh: Mesh, params, host_offload: bool = False) -> dict:
+    """NamedSharding pytree matching ``params`` (works on shapes or arrays).
+
+    ``host_offload=True`` places the (sharded) leaves in ``pinned_host``
+    memory — the analog of the reference's ZeRO-3 parameter offload for
+    100B-class bases (``zero_stage3_config_100b_1e7_offload.json:13-20``);
+    XLA streams them to HBM per use."""
     def one(path, leaf):
         ndim = len(getattr(leaf, "shape", ()))
-        return NamedSharding(mesh, spec_for_path(_path_str(path), ndim))
+        sh = NamedSharding(mesh, spec_for_path(_path_str(path), ndim))
+        if host_offload:
+            sh = sh.with_memory_kind("pinned_host")
+        return sh
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_params(mesh: Mesh, params):
-    return jax.device_put(params, param_shardings(mesh, params))
+def shard_params(mesh: Mesh, params, host_offload: bool = False):
+    return jax.device_put(params,
+                          param_shardings(mesh, params,
+                                          host_offload=host_offload))
 
 
 def constrain(mesh: Mesh, x, *spec_parts):
