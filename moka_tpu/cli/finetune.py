@@ -35,7 +35,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--global-batch", type=int, default=32)
     p.add_argument("--pad-to", type=int, default=1024)
-    p.add_argument("--save-steps", type=int, default=0)
+    p.add_argument("--save-steps", type=float, default=0,
+                   help="absolute steps, or a 0-1 fraction of total steps (reference --save_steps 0.1)")
     p.add_argument("--mesh", default="fsdp",
                    help="'fsdp' | 'data' | 'd,f,m' explicit axis sizes")
     p.add_argument("--seed", type=int, default=42)
@@ -203,9 +204,10 @@ def main(argv=None):
         # trainer.py:91-160): AVQA and AVE have different audio segment
         # shapes, so a batch must be single-task.
         from moka_tpu.data.prefetch import ParallelLoader
-        from moka_tpu.train.trainer import grouped_indices
+        from moka_tpu.parallel.mesh import host_local_batch_size
+        from moka_tpu.train.trainer import host_sharded_order
         rank, world = jax.process_index(), jax.process_count()
-        per_host = per_step // world
+        per_host = host_local_batch_size(per_step, mesh)
 
         def collate(items):
             return {k: jnp.asarray(v) for k, v in
@@ -216,13 +218,9 @@ def main(argv=None):
         lengths = [len(s["instruction"]) for s in ds.samples]
         loader = ParallelLoader(ds, collate, batch_size=per_host)
         for epoch in range(args.epochs):
-            order = grouped_indices(lengths, group_key, per_step,
-                                    seed=args.seed + epoch,
-                                    drop_remainder=True)
-            host_order = [int(j) for i in
-                          range(0, len(order) - per_step + 1, per_step)
-                          for j in order[i + rank * per_host:
-                                         i + (rank + 1) * per_host]]
+            host_order = host_sharded_order(lengths, group_key, per_step,
+                                            rank, world,
+                                            seed=args.seed + epoch)
             yield from loader.epoch(host_order)
 
     trainer.train(batches())

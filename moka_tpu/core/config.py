@@ -125,7 +125,9 @@ class TrainConfig:
     rng_impl: str | None = None        # dropout PRNG ('rbg' = fast TPU
                                        # RngBitGenerator; None = threefry)
     log_every: int = 1
-    save_every_steps: int = 0          # 0 = only final
+    save_every_steps: float = 0        # 0 = only final; 0<x<1 = fraction
+                                       # of total steps (reference
+                                       # --save_steps 0.1)
     adalora_budget: int = 0            # >0 enables the AdaLoRA rank
                                        # allocator over any adalora params
     adalora_update_every: int = 100

@@ -90,4 +90,8 @@ def load_image(path: str, size: int = 224) -> np.ndarray:
                                                  Image.BICUBIC)
     arr = np.asarray(img, np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD
+    if not np.isfinite(arr).all():
+        # the reference's NaN-pixel guard (train.py:171-172): fail the
+        # sample loudly on the host instead of poisoning a jitted step
+        raise ValueError(f"Invalid pixel values detected in image {path}")
     return arr.transpose(2, 0, 1)

@@ -55,6 +55,21 @@ def grouped_indices(lengths: list[int], group_key: list,
     return [i for b in batches for i in b]
 
 
+def host_sharded_order(lengths: list[int], group_key: list,
+                       global_batch: int, rank: int, world: int,
+                       seed: int) -> list[int]:
+    """Multi-host data sharding without a sampler service: every host draws
+    the SAME global grouped order (same seed), then keeps only its stride of
+    each global batch.  The union of all hosts' slices is exactly the global
+    order and the slices are disjoint (tested in test_trainer.py)."""
+    per_host = global_batch // world
+    order = grouped_indices(lengths, group_key, global_batch, seed=seed,
+                            drop_remainder=True)
+    return [int(j) for i in
+            range(0, len(order) - global_batch + 1, global_batch)
+            for j in order[i + rank * per_host: i + (rank + 1) * per_host]]
+
+
 class Trainer:
     def __init__(self, loss_fn: Callable, trainable, frozen,
                  cfg: TrainConfig, total_steps: int,
@@ -78,6 +93,12 @@ class Trainer:
             jax.random.key(cfg.seed, impl=cfg.rng_impl)
         self.state = init_train_state(trainable, self.tx, key)
         self.total_steps = total_steps
+        # fractional save_steps = fraction of total steps (the reference
+        # recipe uses --save_steps 0.1, ft_musicavqa.sh)
+        self.save_every = cfg.save_every_steps
+        if 0 < self.save_every < 1:
+            self.save_every = max(int(total_steps * self.save_every), 1)
+        self.save_every = int(self.save_every)
         self.out_dir = cfg.output_dir
         self.is_main = jax.process_index() == 0
         if self.is_main:
@@ -100,7 +121,12 @@ class Trainer:
                 print(f"[trainer] resumed from step {last}")
 
     def train(self, batches: Iterable[dict],
-              profile_steps: tuple[int, int] | None = None) -> TrainState:
+              profile_steps: tuple[int, int] | None = None,
+              eval_fn: Callable | None = None,
+              eval_every_steps: int = 0) -> TrainState:
+        """eval_fn(state) -> metrics dict, run every ``eval_every_steps``
+        (the reference relies on HF Trainer's evaluation loop; most of its
+        recipes never enable it, but the hook exists here for parity)."""
         t0 = time.perf_counter()
         for batch in batches:
             step = int(self.state.step)
@@ -131,8 +157,13 @@ class Trainer:
                 t0 = time.perf_counter()
                 metrics["step_time_s"] = dt / self.cfg.log_every
                 self.logger.log(step, metrics)
-            if self.cfg.save_every_steps and \
-                    step % self.cfg.save_every_steps == 0 and self.is_main:
+            if eval_fn is not None and eval_every_steps and \
+                    step % eval_every_steps == 0:
+                em = {f"eval_{k}": float(v)
+                      for k, v in eval_fn(self.state).items()}
+                self.logger.log(step, em)
+            if self.save_every and step % self.save_every == 0 and \
+                    self.is_main:
                 ckpt.save(os.path.join(self.out_dir, "checkpoints"),
                           self.state)
         return self.state
