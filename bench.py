@@ -52,11 +52,13 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         spec = spec.with_bf16_dots()
     r1, r2 = jax.random.split(jax.random.key(0))
     if quantize:
-        # int8 weight-only frozen base (QLoRA-style): the 7B flagship fits
-        # one 16 GB v5e chip this way; init directly quantized (a transient
-        # full-bf16 tree would OOM during setup)
+        # int8/int4 weight-only frozen base (QLoRA-style): the 7B flagship
+        # fits one 16 GB v5e chip this way; init directly quantized (a
+        # transient full-bf16 tree would OOM during setup).  quantize may be
+        # True (int8) or the bit width itself.
         from moka_tpu.ops.quant import init_llama_params_quantized
-        frozen = init_llama_params_quantized(r1, cfg)
+        bits = 8 if quantize is True else int(quantize)
+        frozen = init_llama_params_quantized(r1, cfg, bits=bits)
     else:
         frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
@@ -103,9 +105,11 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     tokens_per_sec = b * L / dt
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen)
                    if x.dtype != np.float32 or x.ndim > 1)
-    if quantize:  # count int8 weights once, not their fp32 scales
-        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(frozen)
-                       if x.ndim >= 2 and "float32" not in str(x.dtype))
+    if quantize:  # count quantized weights once, not their fp32 scales
+        n_params = sum(
+            int(np.prod(x.shape)) * (2 if x.dtype == np.uint8 else 1)
+            for x in jax.tree.leaves(frozen)
+            if x.ndim >= 2 and "float32" not in str(x.dtype))
     flops_per_token = 6 * n_params
     device = jax.devices()[0]
     return {
@@ -130,8 +134,12 @@ def _candidates():
     # rbg dropout PRNG); 7B bf16 runs FSDP-sharded on >=2 chips.
     from moka_tpu.core.config import LlamaConfig
     return {
+        # flagship: int4-packed frozen base frees HBM for the proj_nokv_lse
+        # save policy (no gate/up matmul or flash-fwd recompute in backward)
+        "llama2_7b_int4": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
+                           4, "proj_nokv_lse", True, "rbg"),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
-                           True, "qkvod", True, "rbg"),
+                           True, "qkvod_lse", True, "rbg"),
         "llama2_7b_int8_fullremat": (
             LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, True, None,
             True, "rbg"),

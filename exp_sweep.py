@@ -33,6 +33,21 @@ VARIANTS = {
     "bf16_qkvod_b6":   (6, 1024, "qkvod", True, False),
     "bf16_qkvod_rbg":  (4, 1024, "qkvod", True, False, "rbg"),
     "bf16_qkvod_urbg": (4, 1024, "qkvod", True, False, "unsafe_rbg"),
+    # int4-packed base (8th field = quant bits): halved weight HBM frees
+    # room for bigger save policies (proj = no matmul recompute in bwd)
+    "i4_qkvod":        (4, 1024, "qkvod", True, False, "rbg", 4),
+    "i4_mlp":          (4, 1024, "mlp",   True, False, "rbg", 4),
+    "i4_proj":         (4, 1024, "proj",  True, False, "rbg", 4),
+    "i4_proj_b6":      (6, 1024, "proj",  True, False, "rbg", 4),
+    "i4_proj_b8":      (8, 1024, "proj",  True, False, "rbg", 4),
+    "i8_proj":         (4, 1024, "proj",  True, False, "rbg", 8),
+    # proj OOMs at int4 by 570 MB; these drop the cheap k/v (and q) saves
+    "i4_proj_nokv":    (4, 1024, "proj_nokv",  True, False, "rbg", 4),
+    "i4_proj_noqkv":   (4, 1024, "proj_noqkv", True, False, "rbg", 4),
+    "i8_proj_noqkv":   (4, 1024, "proj_noqkv", True, False, "rbg", 8),
+    # + saved flash residuals (out/lse): bwd skips the flash fwd recompute
+    "i4_pnl":          (4, 1024, "proj_nokv_lse", True, False, "rbg", 4),
+    "i8_qkvod_lse":    (4, 1024, "qkvod_lse",     True, False, "rbg", 8),
 }
 
 
@@ -42,8 +57,9 @@ def run_one(name):
     v = VARIANTS[name]
     b, L, pol, bf16, fused = v[:5]
     rng_impl = v[5] if len(v) > 5 else None
+    bits = v[6] if len(v) > 6 else 8
     cfg = LlamaConfig.llama2_7b(vocab_size=32011)
-    out = bench.run("llama2_7b_int8", cfg, b, L, quantize=True,
+    out = bench.run(f"llama2_7b_int{bits}", cfg, b, L, quantize=bits,
                     remat_policy=pol, bf16_dots=bf16, fused_moka=fused,
                     rng_impl=rng_impl)
     out["variant"] = name

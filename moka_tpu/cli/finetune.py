@@ -40,9 +40,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", default="fsdp",
                    help="'fsdp' | 'data' | 'd,f,m' explicit axis sizes")
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--quantize-base", action="store_true",
-                   help="int8 weight-only frozen base (QLoRA-style); "
-                        "lets 7B fit one 16GB chip")
+    p.add_argument("--quantize-base", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="int8/int4 weight-only frozen base (QLoRA-style); "
+                        "bare flag = int8; lets 7B fit one 16GB chip")
     p.add_argument("--model-preset",
                    choices=["7b", "13b", "34b", "70b", "tiny"], default="7b",
                    help="LLaMA base size ('tiny' = small random-init model "
@@ -124,7 +125,8 @@ def main(argv=None):
         if args.quantize_base:
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
-                imp.load_torch(args.llama_ckpt), cfg.llama)
+                imp.load_torch(args.llama_ckpt), cfg.llama,
+                bits=args.quantize_base)
         else:
             llama_params = imp.import_llama(
                 imp.load_torch(args.llama_ckpt), cfg.llama)
@@ -144,12 +146,14 @@ def main(argv=None):
                                      jnp.bfloat16)
         if args.quantize_base:
             from moka_tpu.ops.quant import quantize_llama_base
-            frozen["llama"] = quantize_llama_base(frozen["llama"])
+            frozen["llama"] = quantize_llama_base(frozen["llama"],
+                                                  bits=args.quantize_base)
     frozen = shardlib.shard_params(mesh, frozen,
                                    host_offload=args.host_offload)
     if jax.process_index() == 0:
         q_leaf = frozen["llama"]["layers"]["q"]
-        q_arr = q_leaf["w_i8"] if isinstance(q_leaf, dict) else q_leaf
+        q_arr = (q_leaf.get("w_i8", q_leaf.get("w_i4"))
+                 if isinstance(q_leaf, dict) else q_leaf)
         print(f"base q sharding: {q_arr.sharding.spec} "
               f"(quantized={isinstance(q_leaf, dict)})")
 

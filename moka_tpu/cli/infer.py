@@ -29,9 +29,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
-    p.add_argument("--quantize-base", action="store_true",
-                   help="int8 weight-only frozen base (QLoRA-style); "
-                        "lets 7B fit one 16GB chip")
+    p.add_argument("--quantize-base", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="int8/int4 weight-only frozen base (QLoRA-style); "
+                        "bare flag = int8; lets 7B fit one 16GB chip")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
     p.add_argument("--serve", action="store_true",
                    help="start the micro-batching HTTP server instead of "
@@ -68,7 +69,8 @@ def main(argv=None):
         if args.quantize_base:
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
-                imp.load_torch(args.llama_ckpt), cfg.llama)
+                imp.load_torch(args.llama_ckpt), cfg.llama,
+                bits=args.quantize_base)
         else:
             llama_params = imp.import_llama(
                 imp.load_torch(args.llama_ckpt), cfg.llama)

@@ -272,10 +272,33 @@ def _remat_policy(name: str | None):
         # still fits one 16 GB chip beside the int8 base
         return save("attn_out", "proj_q", "proj_k", "proj_v", "proj_o",
                     "proj_down")
+    if name == "qkvod_lse":
+        # qkvod with the flash residuals saved in place of attn_out (see
+        # proj_nokv_lse): same memory +lse, no flash-fwd recompute in bwd
+        return save("flash_out", "flash_lse", "proj_q", "proj_k", "proj_v",
+                    "proj_o", "proj_down")
     if name == "mlp":
         return save("attn_out", "proj_gate", "proj_up")
     if name == "proj":
         return save("attn_out", *(f"proj_{n}" for n in PROJ_DIMS))
+    if name == "proj_nokv":
+        # proj minus the k/v saves: k/v are the cheapest projections to
+        # recompute (narrow matmuls off the saved layer input) and dropping
+        # them shaves ~2 GB at 7B b4xL1024 — the widest set that fits one
+        # 16 GB chip beside an int4 base
+        return save("attn_out", "proj_q", "proj_o", "proj_down",
+                    "proj_gate", "proj_up")
+    if name == "proj_nokv_lse":
+        # proj_nokv, but saving the flash-attention custom-VJP residuals
+        # (kernel output pre-reshape + per-row logsumexp) INSTEAD of
+        # attn_out: the backward reuses them rather than re-running the
+        # flash forward kernel, and attn_out is a free reshape of
+        # flash_out.  lse is (B,H,L) fp32 — tiny.
+        return save("flash_out", "flash_lse", "proj_q", "proj_o",
+                    "proj_down", "proj_gate", "proj_up")
+    if name == "proj_noqkv":
+        return save("attn_out", "proj_o", "proj_down", "proj_gate",
+                    "proj_up")
     if name == "dots":
         return jax.checkpoint_policies.dots_saveable
     raise ValueError(f"unknown remat policy {name!r}")

@@ -252,6 +252,11 @@ def _flash_vjp_fwd(q, k, v, attn_mask, q_offset, causal, scale, block_q,
                    block_k, interpret):
     out, lse = _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale,
                               block_q, block_k, interpret)
+    # Named so remat save policies can keep the residuals and skip the
+    # flash-forward recompute in the backward pass ("attn_res" policies).
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, attn_mask, q_offset, out, lse)
 
 
@@ -338,7 +343,7 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
-              block_k=512, interpret=False):
+              block_k=512, interpret=None):
     """Drop-in for ``ops.attention.mha``: q (b, L, H, hd), k/v (b, S, K, hd),
     attn_mask (b, S) validity, q_offset = position of query 0 in the key
     axis.  Returns (b, L, H, hd).
@@ -346,6 +351,8 @@ def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
     Ragged lengths are padded up to the block size here (Pallas clamps
     out-of-range tail blocks, which would desync the position ids inside the
     kernel); padded keys are masked out via attn_mask."""
+    if interpret is None:  # Mosaic kernels need interpret mode off-TPU
+        interpret = jax.default_backend() != "tpu"
     hd = q.shape[-1]
     L, S = q.shape[1], k.shape[1]
     bq, bk = min(block_q, L), min(block_k, S)

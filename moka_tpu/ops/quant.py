@@ -33,27 +33,80 @@ def quantize_int8(w: Array, axis: int = -2) -> dict:
     return {"w_i8": q.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
 
 
+def quantize_int4(w: Array, axis: int = -2) -> dict:
+    """Symmetric per-output-channel int4, nibble-packed along the input dim.
+
+    The input dim is split in halves: rows [0:h) live in the low nibble,
+    rows [h:2h) in the high nibble of a uint8 of half the size — so the
+    unpack at use time is two sign-extends and the matmul splits along the
+    contraction dim (no interleave/concat materialization).  The backend's
+    native int4 dtype is stored unpacked (one byte per value) on this TPU
+    generation, hence the manual packing.  Values are clipped to [-7, 7] so
+    dequant is exact under the symmetric scale amax/7."""
+    assert axis in (-2, w.ndim - 2), "pack along the input (contraction) dim"
+    d_in = w.shape[-2]
+    assert d_in % 2 == 0, f"input dim {d_in} must be even for nibble packing"
+    a_max = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.where(a_max == 0, 1.0, a_max / 7.0)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7)
+    q = q.astype(jnp.int8)
+    h = d_in // 2
+    lo = jax.lax.dynamic_slice_in_dim(q, 0, h, axis=-2)
+    hi = jax.lax.dynamic_slice_in_dim(q, h, h, axis=-2)
+    packed = ((lo & 0x0F) | (hi << 4)).astype(jnp.uint8)
+    return {"w_i4": packed, "scale": scale.astype(jnp.float32)}
+
+
+def unpack_int4(packed: Array) -> tuple[Array, Array]:
+    """-> (lo, hi) int8 halves, each the size of ``packed``."""
+    pi = jax.lax.bitcast_convert_type(packed, jnp.int8)
+    lo = (pi << 4) >> 4   # arithmetic shift sign-extends the low nibble
+    hi = pi >> 4
+    return lo, hi
+
+
 def dequantize(qw: dict, dtype=jnp.bfloat16) -> Array:
+    if "w_i4" in qw:
+        lo, hi = unpack_int4(qw["w_i4"])
+        w = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+        return (w * qw["scale"]).astype(dtype)
     return (qw["w_i8"].astype(jnp.float32) * qw["scale"]).astype(dtype)
 
 
 def is_quantized(w) -> bool:
-    return isinstance(w, dict) and "w_i8" in w
+    return isinstance(w, dict) and ("w_i8" in w or "w_i4" in w)
 
 
 def qmatmul(x: Array, w, *, spec: str = "bld,df->blf") -> Array:
-    """x @ w for plain or int8-quantized weights.  The dequantized weight is
-    a fusion-local temporary (one per layer inside the scan/loop body)."""
+    """x @ w for plain / int8 / int4-packed weights.  The dequantized weight
+    is a fusion-local temporary (one per layer inside the scan/loop body).
+
+    int4: the matmul splits along the contraction dim (low-nibble rows, then
+    high-nibble rows) and the per-output-channel scale applies once to the
+    fp32 accumulator — XLA fuses the nibble sign-extend into the dot operand
+    the same way it fuses the int8 dequant."""
+    if is_quantized(w) and "w_i4" in w:
+        lo, hi = unpack_int4(w["w_i4"])
+        h = lo.shape[-2]
+        x_lo = jax.lax.slice_in_dim(x, 0, h, axis=-1)
+        x_hi = jax.lax.slice_in_dim(x, h, 2 * h, axis=-1)
+        acc = (jnp.einsum(spec, x_lo, lo.astype(x.dtype),
+                          preferred_element_type=jnp.float32) +
+               jnp.einsum(spec, x_hi, hi.astype(x.dtype),
+                          preferred_element_type=jnp.float32))
+        scale = w["scale"].reshape((1,) * (acc.ndim - 1) + (-1,))
+        return (acc * scale).astype(x.dtype)
     if is_quantized(w):
         w = dequantize(w, dtype=x.dtype)
     return jnp.einsum(spec, x, w)
 
 
-def quantize_llama_base(base: dict) -> dict:
+def quantize_llama_base(base: dict, bits: int = 8) -> dict:
     """Quantize the 7 projection families of a layer-stacked LLaMA tree."""
+    quant = {8: quantize_int8, 4: quantize_int4}[bits]
     layers = dict(base["layers"])
     for name in QUANT_KEYS:
-        layers[name] = quantize_int8(base["layers"][name], axis=-2)
+        layers[name] = quant(base["layers"][name], axis=-2)
     out = dict(base)
     out["layers"] = layers
     return out
@@ -65,17 +118,18 @@ def quantized_bytes(tree) -> int:
                for x in jax.tree.leaves(tree))
 
 
-def init_llama_params_quantized(rng: Array, cfg) -> dict:
+def init_llama_params_quantized(rng: Array, cfg, bits: int = 8) -> dict:
     """Random-init a llama base directly in quantized form, one projection
     family at a time with donated quantization — peak memory stays at
-    int8-size + one bf16 family, never the full bf16 tree (which would OOM
-    a 16 GB chip during setup for 7B)."""
+    quantized-size + one bf16 family, never the full bf16 tree (which would
+    OOM a 16 GB chip during setup for 7B)."""
     from moka_tpu.models.llama import _proj_shapes
 
     shapes = _proj_shapes(cfg)
     n = cfg.n_layers
     keys = iter(jax.random.split(rng, len(shapes) + 3))
-    quant = jax.jit(quantize_int8, donate_argnums=0)
+    quant = jax.jit({8: quantize_int8, 4: quantize_int4}[bits],
+                    donate_argnums=0)
 
     layers = {}
     for name, (d_in, d_out) in shapes.items():
@@ -95,10 +149,9 @@ def init_llama_params_quantized(rng: Array, cfg) -> dict:
     }
 
 
-def import_llama_quantized(sd: dict, cfg) -> dict:
-    """Checkpoint import straight to int8 (no full bf16 tree on device)."""
+def import_llama_quantized(sd: dict, cfg, bits: int = 8) -> dict:
+    """Checkpoint import straight to int8/int4 (no full bf16 tree held)."""
     from moka_tpu.train.import_torch import import_llama
-    import numpy as np
 
     base = import_llama(sd, cfg, dtype=jnp.bfloat16)  # host->device per leaf
-    return quantize_llama_base(base)
+    return quantize_llama_base(base, bits=bits)

@@ -51,11 +51,22 @@ def make_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
 
 
 def host_local_batch_size(global_batch: int, mesh: Mesh) -> int:
+    """Samples this host must feed per step.  Divisibility by the full
+    data-parallel device count is only required when the batch dim is
+    explicitly device-sharded (``batch_sharding``); the train step feeds
+    host-local arrays, so the hard requirement is per-process evenness."""
+    world = jax.process_count()
+    if global_batch % world:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"host count {world}")
     n_data = mesh.shape[AXIS_DATA] * mesh.shape[AXIS_FSDP]
     if global_batch % n_data:
-        raise ValueError(f"global batch {global_batch} not divisible by "
-                         f"data-parallel size {n_data}")
-    return global_batch // jax.process_count()
+        import warnings
+        warnings.warn(f"global batch {global_batch} not divisible by "
+                      f"data-parallel size {n_data}; batch arrays cannot be "
+                      f"evenly device-sharded (ok for replicated feeding)",
+                      stacklevel=2)
+    return global_batch // world
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -30,10 +30,12 @@ RULES: list[tuple[str, P]] = [
     # w_i8 shards like the bf16 weight; the (N, 1, d_out) per-out-channel
     # scale shards along d_out to match the weight's output axis (the
     # ZeRO-3-for-quantized-bases analog of zero_stage3_config_70b.json).
-    (r".*layers/(q|k|v|gate|up)/w_i8$",  P(None, "fsdp", "model")),
-    (r".*layers/(q|k|v|gate|up)/scale$", P(None, None, "model")),
-    (r".*layers/(o|down)/w_i8$",         P(None, "model", "fsdp")),
-    (r".*layers/(o|down)/scale$",        P(None, None, "fsdp")),
+    # (w_i4 = nibble-packed int4: the packed axis is still the input dim,
+    # at half length — same spec applies.)
+    (r".*layers/(q|k|v|gate|up)/w_i[84]$",  P(None, "fsdp", "model")),
+    (r".*layers/(q|k|v|gate|up)/scale$",    P(None, None, "model")),
+    (r".*layers/(o|down)/w_i[84]$",         P(None, "model", "fsdp")),
+    (r".*layers/(o|down)/scale$",           P(None, None, "fsdp")),
     (r".*layers/(attn_norm|mlp_norm)$", P(None, None)),
     (r".*/embed$",                P(None, "fsdp")),
     (r".*/lm_head$",              P("fsdp", "model")),

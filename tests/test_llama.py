@@ -155,3 +155,35 @@ def test_rope_scaling_variants():
                                seq_len=64, max_seq_len=32)
     assert float(np.abs(np.asarray(dyn_long) - np.asarray(base_cos)).max()) \
         > 1e-4
+
+
+def test_remat_policy_grads_match_no_remat():
+    """Gradients under the save-policy remat variants — including the
+    flash-residual-saving ones (flash_out/flash_lse checkpoint names inside
+    the flash custom-VJP fwd rule) — match the no-remat gradients."""
+    import pytest
+
+    base, adapters = _setup()
+    b, L = 2, 16
+    toks = jnp.arange(b * L).reshape(b, L) % CFG.vocab_size
+    labels = jnp.asarray(np.where(np.arange(L) < 2, -100,
+                                  np.asarray(toks)), jnp.int32)
+    masks = _masks(b, L)
+
+    def loss_fn(ad, remat, policy, use_flash):
+        logits, _ = llama.forward(base, CFG, adapters=ad, spec=SPEC,
+                                  tokens=toks, masks=masks, remat=remat,
+                                  remat_policy=policy, use_flash=use_flash)
+        return llama.cross_entropy_loss(logits, labels)
+
+    for use_flash in (False, True):
+        ref = jax.grad(loss_fn)(adapters, False, None, use_flash)
+        for policy in ("qkvod", "qkvod_lse", "proj_nokv", "proj_nokv_lse",
+                       "proj"):
+            got = jax.grad(loss_fn)(adapters, True, policy, use_flash)
+            for (p1, g1), (p2, g2) in zip(
+                    jax.tree_util.tree_leaves_with_path(ref),
+                    jax.tree_util.tree_leaves_with_path(got)):
+                np.testing.assert_allclose(
+                    np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=1e-6,
+                    err_msg=f"policy={policy} flash={use_flash} leaf={p1}")

@@ -97,3 +97,71 @@ def test_quantized_import_close_to_hf():
     rel = float(jnp.abs(q_logits - f_logits).mean()
                 / jnp.abs(f_logits).mean())
     assert rel < 0.08, rel
+
+
+def test_int4_roundtrip_and_matmul_parity():
+    """Nibble-packed int4: dequant error bound, packed layout, and the
+    split-contraction qmatmul matches a dense matmul on the dequantized
+    weight (the scale applies once to the fp32 accumulator)."""
+    from moka_tpu.ops.quant import qmatmul, quantize_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 16, 8)) * 0.05, jnp.float32)
+    qw = quantize_int4(w)
+    assert qw["w_i4"].shape == (3, 8, 8) and qw["w_i4"].dtype == jnp.uint8
+    back = dequantize(qw, dtype=jnp.float32)
+    # symmetric [-7,7]: max error <= scale/2 = max|w|/14
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    assert err <= float(np.abs(np.asarray(w)).max()) / 14 + 1e-7
+
+    w2 = w[0]
+    q2 = quantize_int4(w2)
+    x = jnp.asarray(rng.standard_normal((2, 5, 16)), jnp.float32)
+    ref = jnp.einsum("bld,df->blf", x, dequantize(q2, jnp.float32))
+    got = qmatmul(x, q2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_int4_base_forward_close_and_trains():
+    """7B-style flow at tiny scale: int4 base halves the int8 footprint,
+    logits stay usable, adapter-only training still reduces the loss."""
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    q8 = quantize_llama_base(base, bits=8)
+    q4 = quantize_llama_base(base, bits=4)
+    w8 = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(q8)
+             if x.dtype == jnp.int8)
+    w4 = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(q4)
+             if x.dtype == jnp.uint8)
+    assert w4 * 2 == w8
+
+    toks = jnp.arange(32).reshape(2, 16) % 64
+    full, _ = llama.forward(base, CFG, tokens=toks)
+    quant, _ = llama.forward(q4, CFG, tokens=toks)
+    agree = np.mean(np.asarray(jnp.argmax(full, -1) == jnp.argmax(quant, -1)))
+    assert agree > 0.7, agree
+
+    rng = np.random.default_rng(0)
+    trainable = {"adapters": llama.init_moka_adapters(jax.random.key(2),
+                                                      CFG, SPEC)}
+    t2 = jnp.asarray(rng.integers(4, 64, (2, 16)), jnp.int32)
+    batch = {"tokens": t2, "labels": t2}
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=30)
+    step = make_train_step(make_llama_moka_loss(CFG, SPEC, remat=True), tx)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, q4, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::6]
+
+
+def test_int4_sharding_rules():
+    from moka_tpu.parallel.sharding import spec_for_path
+    from jax.sharding import PartitionSpec as P
+    assert spec_for_path("llama/layers/q/w_i4", 3) == P(None, "fsdp", "model")
+    assert spec_for_path("llama/layers/down/w_i4", 3) == P(None, "model",
+                                                           "fsdp")
+    assert spec_for_path("llama/layers/q/scale", 3) == P(None, None, "model")
