@@ -34,6 +34,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="int8/int4 weight-only frozen base (QLoRA-style); "
                         "bare flag = int8; lets 7B fit one 16GB chip")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
+    p.add_argument("--continuous", action="store_true",
+                   help="with --serve: continuous batching (slot-based "
+                        "decode engine; requests join free lanes mid-"
+                        "stream) instead of micro-batch windows")
     p.add_argument("--serve", action="store_true",
                    help="start the micro-batching HTTP server instead of "
                         "offline JSONL inference")
@@ -106,6 +110,50 @@ def main(argv=None):
         if al:
             trainable["al_projector"] = imp.import_projector(
                 al, cfg.al_projector, kind="audio")
+
+    if args.serve and args.continuous:
+        # continuous batching: per-request prefill into free decode lanes
+        import jax.numpy as jnp
+        from moka_tpu.data import assembler as asmb
+        from moka_tpu.eval.engine import DecodeEngine
+        from moka_tpu.eval.server import serve_continuous
+        from moka_tpu.models import llama as llama_mod
+
+        nq = cfg.vl_projector.num_query_tokens
+        t = tok.as_tokenize()
+        engine = DecodeEngine(
+            frozen["llama"], trainable.get("adapters"), cfg=cfg.llama,
+            spec=cfg.spec, n_slots=8,
+            cache_capacity=args.pad_to + args.max_new_tokens,
+            eos_id=tok.eos_id, pad_id=tok.pad_id)
+
+        def prep(item):
+            ids = np.asarray(t.encode(item["prompt"]), np.int64)
+            labels = np.full(len(ids), -100, np.int64)
+            sample = asmb.assemble_sample(
+                ids, labels, t.token_to_id, t.pad_id,
+                n_video_tokens=nq if "image" in item else 0,
+                n_audio_tokens=0)
+            batch = asmb.pad_batch([sample], t.pad_id, pad_to=args.pad_to)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if "image" in item:
+                batch["video"] = jnp.asarray(
+                    np.stack([item["image"]]))[:, None]
+            embeds = unified.build_inputs_embeds(trainable, frozen, cfg,
+                                                 batch)
+            masks = llama_mod.MaskBundle(batch["modality_masks"],
+                                         batch["question_mask"])
+            return embeds, batch["attn_mask"], masks
+
+        def decode_txt(toks):
+            return tok.decode([int(x) for x in toks
+                               if x not in (tok.pad_id, tok.eos_id)])
+
+        server = serve_continuous(engine, prep, decode_txt, port=args.port,
+                                  max_new_tokens=args.max_new_tokens)
+        print(f"serving (continuous) on :{server.server_address[1]}")
+        server.serve_forever()
+        return
 
     if args.serve:
         # serving mode: text(+optional image) prompts through the same model

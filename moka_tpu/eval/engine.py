@@ -1,0 +1,311 @@
+"""Continuous-batching decode engine (slot-based serving).
+
+The reference has no serving story (its eval drivers run offline
+batch-1 ``generate`` loops — ``mmbench.py:594-641``); the round-1 server
+(`eval/server.py`) micro-batches but decodes each batch to completion, so a
+short request waits for the longest one in its batch.  This engine removes
+that head-of-line blocking: a fixed number of *slots* (batch lanes) decode
+together one token per step, finished lanes free immediately, and queued
+requests prefill into free lanes mid-stream — the standard continuous
+batching of production LLM servers, built TPU-style on static shapes.
+
+Design (no change to ``llama.forward`` needed):
+
+- The KV cache write index is a single shared cursor ``cur``: every step
+  writes all lanes' new k/v at cell ``cur`` (exactly what the jitted decode
+  step already does).  Per-lane validity lives in the (slots, S) attention
+  mask; RoPE positions are per-lane token counts, so a lane's logical
+  sequence is independent of which physical cells it occupies.
+- A new request prefills ALONE (batch 1, prompt bucket-padded right) into a
+  fresh lane cache, then is inserted into a free slot with one
+  ``dynamic_update_index_in_dim`` — admission never recompiles or disturbs
+  running lanes.
+- When ``cur`` hits capacity, a jitted *compaction* gathers each lane's
+  valid cells to the front of its row (cached k/v already contain rotary
+  phases, so moving cells is value-preserving) and the cursor rewinds to
+  the longest lane.  Dead cells left by finished requests are reclaimed the
+  same way.
+
+Static shapes throughout: one compiled step executable for the lifetime of
+the engine, one prefill executable per prompt bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------- jitted ops
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "use_flash",
+                                             "cache_dtype"))
+def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
+             inputs_embeds: Array, prompt_mask: Array,
+             masks: llama.MaskBundle | None, use_flash: bool = False,
+             cache_dtype=jnp.bfloat16):
+    """Batch-1 prefill into a fresh lane cache sized to the prompt bucket.
+
+    Returns (first_token scalar, lane_k/lane_v (layers, Lp, K, hd))."""
+    _, Lp, _ = inputs_embeds.shape
+    cache = llama.init_kv_cache(cfg, 1, Lp, dtype=cache_dtype)
+    pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)
+    logits, cache = llama.forward(
+        base, cfg, adapters=adapters, spec=spec,
+        inputs_embeds=inputs_embeds, masks=masks,
+        attn_mask=prompt_mask, positions=pos, cache=cache,
+        use_flash=use_flash)
+    # last valid prompt position (works for left- OR right-padded prompts)
+    m = prompt_mask[0]
+    last_idx = (Lp - 1 - jnp.argmax(jnp.flip(m))).astype(jnp.int32)
+    last = jax.lax.dynamic_index_in_dim(logits[0], last_idx, axis=0,
+                                        keepdims=False)
+    tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
+    return tok, cache["k"][:, 0], cache["v"][:, 0]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert(gk: Array, gv: Array, amask: Array, lane_k: Array, lane_v: Array,
+            lane_mask: Array, slot: Array):
+    """Write one prefilled lane into the global cache at ``slot``.
+
+    lane_k/v are (layers, Lp, K, hd) with Lp <= S; the lane row beyond Lp is
+    zeroed (mask cleared) so stale cells from the previous occupant never
+    leak into attention."""
+    S = gk.shape[2]
+    Lp = lane_k.shape[1]
+    pad = ((0, 0), (0, S - Lp), (0, 0), (0, 0))
+    gk = jax.lax.dynamic_update_index_in_dim(
+        gk, jnp.pad(lane_k, pad), slot, axis=1)
+    gv = jax.lax.dynamic_update_index_in_dim(
+        gv, jnp.pad(lane_v, pad), slot, axis=1)
+    amask = jax.lax.dynamic_update_index_in_dim(
+        amask, jnp.pad(lane_mask, ((0, S - Lp),)), slot, axis=0)
+    return gk, gv, amask
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "spec", "paged_decode"),
+                   donate_argnums=(2, 3, 4))
+def _step(base, adapters, gk: Array, gv: Array, amask: Array,
+          tokens: Array, counts: Array, active: Array, cur: Array, *,
+          cfg: LlamaConfig, spec: MokaSpec | None,
+          paged_decode: bool = False):
+    """One decode step for every lane: write k/v at cell ``cur``, attend
+    over each lane's valid cells, return next tokens."""
+    amask = amask.at[:, cur].set(active.astype(amask.dtype))
+    embeds = jnp.take(base["embed"], tokens[:, None], axis=0)
+    cache = {"k": gk, "v": gv, "length": cur}
+    logits, cache = llama.forward(
+        base, cfg, adapters=adapters, spec=spec,
+        inputs_embeds=embeds, masks=None,
+        attn_mask=amask, positions=counts[:, None], cache=cache,
+        paged_decode=paged_decode)
+    new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    return new_tok, cache["k"], cache["v"], amask
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _compact(gk: Array, gv: Array, amask: Array):
+    """Gather each lane's valid cells to the front of its row.
+
+    Returns (gk, gv, amask, new_cur) with new_cur = max lane occupancy."""
+    S = amask.shape[1]
+    # stable argsort of ~valid puts valid cell indices first, in order
+    order = jnp.argsort(1 - amask, axis=1, stable=True)  # (slots, S)
+    idx = order[None, :, :, None, None]
+    gk = jnp.take_along_axis(gk, idx, axis=2)
+    gv = jnp.take_along_axis(gv, idx, axis=2)
+    counts = jnp.sum(amask, axis=1).astype(jnp.int32)
+    amask = (jnp.arange(S)[None, :] < counts[:, None]).astype(amask.dtype)
+    return gk, gv, amask, jnp.max(counts)
+
+
+# ------------------------------------------------------------------- engine
+
+@dataclasses.dataclass
+class _Request:
+    embeds: np.ndarray          # (1, Lp, d) bucket-padded prompt embeddings
+    prompt_mask: np.ndarray     # (1, Lp)
+    masks: llama.MaskBundle | None
+    max_new_tokens: int
+    done: "queue.Queue"
+    tokens: list = dataclasses.field(default_factory=list)
+
+
+class DecodeEngine:
+    """Continuous-batching greedy decode over a fixed slot grid.
+
+    Args:
+      n_slots: concurrent decode lanes (the static batch of the step fn).
+      cache_capacity: physical KV cells per lane (>= longest prompt +
+        headroom; compaction reclaims dead cells when the cursor wraps).
+      eos_id / pad_id: termination token / padding of returned sequences.
+    """
+
+    def __init__(self, base, adapters, *, cfg: LlamaConfig,
+                 spec: MokaSpec | None, n_slots: int = 8,
+                 cache_capacity: int = 2048, eos_id: int = 2,
+                 pad_id: int = 0, use_flash: bool | None = None,
+                 paged_decode: bool = False,
+                 cache_dtype=jnp.bfloat16):
+        self.base, self.adapters = base, adapters
+        self.cfg, self.spec = cfg, spec
+        self.n_slots, self.S = n_slots, cache_capacity
+        self.eos_id, self.pad_id = eos_id, pad_id
+        if use_flash is None:
+            use_flash = jax.default_backend() == "tpu"
+        self.use_flash = use_flash
+        self.paged_decode = paged_decode
+
+        self.cache_dtype = cache_dtype
+        cache = llama.init_kv_cache(cfg, n_slots, cache_capacity,
+                                    dtype=cache_dtype)
+        self.gk, self.gv = cache["k"], cache["v"]
+        self.amask = jnp.zeros((n_slots, cache_capacity), jnp.float32)
+        self.cur = 0                       # next shared write cell
+        self.tokens = np.zeros(n_slots, np.int32)   # last token per lane
+        self.counts = np.zeros(n_slots, np.int32)   # logical length per lane
+        self.budget = np.zeros(n_slots, np.int32)   # remaining new tokens
+        self.slot_req: list[_Request | None] = [None] * n_slots
+        self.pending: "queue.Queue[_Request]" = queue.Queue()
+        self._lock = threading.Lock()
+
+    # -- public API --------------------------------------------------------
+
+    def submit(self, embeds, prompt_mask, masks=None,
+               max_new_tokens: int = 128) -> "queue.Queue":
+        """Queue one request; returns a Queue that receives the np.int32
+        token array when generation finishes."""
+        done: queue.Queue = queue.Queue(maxsize=1)
+        self.pending.put(_Request(np.asarray(embeds),
+                                  np.asarray(prompt_mask), masks,
+                                  max_new_tokens, done))
+        return done
+
+    def start(self) -> None:
+        """Run the admit/step loop on a daemon thread (server mode)."""
+        self._stop = False
+        self._thread = threading.Thread(target=self._serve_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop = True
+        if getattr(self, "_thread", None) is not None:
+            self._thread.join(timeout=5)
+
+    def _serve_loop(self) -> None:
+        import time
+        import traceback
+        while not self._stop:
+            try:
+                with self._lock:
+                    self._admit()
+                    busy = any(self.slot_req)
+                    if busy:
+                        self._decode_step()
+            except Exception:
+                # fail every waiter instead of hanging clients, then exit
+                traceback.print_exc()
+                err = np.asarray([], np.int32)
+                for r in self.slot_req:
+                    if r is not None:
+                        r.done.put(err)
+                self.slot_req = [None] * self.n_slots
+                while not self.pending.empty():
+                    self.pending.get().done.put(err)
+                self._stop = True
+                return
+            if not busy:
+                time.sleep(0.005)
+
+    def run_until_drained(self, max_steps: int = 100_000) -> int:
+        """Drive the engine until no pending or active requests remain.
+        Returns the number of decode steps executed."""
+        steps = 0
+        while (not self.pending.empty() or any(self.slot_req)) \
+                and steps < max_steps:
+            self._admit()
+            if any(self.slot_req):
+                self._decode_step()
+                steps += 1
+        return steps
+
+    # -- scheduler internals -------------------------------------------------
+
+    def _free_slots(self):
+        return [i for i, r in enumerate(self.slot_req) if r is None]
+
+    def _admit(self):
+        free = self._free_slots()
+        while free and not self.pending.empty():
+            req = self.pending.get()
+            slot = free.pop(0)
+            n = int(req.prompt_mask.sum())
+            Lp = req.embeds.shape[1]
+            if n + req.max_new_tokens > self.S:
+                req.done.put(np.asarray([], np.int32))  # cannot fit: reject
+                continue
+            tok, lane_k, lane_v = _prefill(
+                self.base, self.adapters, cfg=self.cfg, spec=self.spec,
+                inputs_embeds=jnp.asarray(req.embeds),
+                prompt_mask=jnp.asarray(req.prompt_mask, jnp.float32),
+                masks=req.masks, use_flash=self.use_flash,
+                cache_dtype=self.cache_dtype)
+            self.gk, self.gv, self.amask = _insert(
+                self.gk, self.gv, self.amask, lane_k, lane_v,
+                jnp.asarray(req.prompt_mask[0], jnp.float32),
+                jnp.asarray(slot, jnp.int32))
+            first = int(tok)
+            self.slot_req[slot] = req
+            self.tokens[slot] = first
+            self.counts[slot] = n
+            self.budget[slot] = req.max_new_tokens
+            self.cur = max(self.cur, Lp)
+            self._emit(slot, first)
+
+    def _emit(self, slot: int, tok: int):
+        """Record one generated token; retire the lane on eos/budget."""
+        req = self.slot_req[slot]
+        req.tokens.append(tok)
+        self.budget[slot] -= 1
+        if tok == self.eos_id or self.budget[slot] <= 0:
+            req.done.put(np.asarray(req.tokens, np.int32))
+            self.slot_req[slot] = None
+            self.amask = self.amask.at[slot].set(0.0)  # reclaimable cells
+            self.counts[slot] = 0
+
+    def _decode_step(self):
+        if self.cur >= self.S:
+            self.gk, self.gv, self.amask, new_cur = _compact(
+                self.gk, self.gv, self.amask)
+            self.cur = int(new_cur)
+            if self.cur >= self.S:  # genuinely full: active lanes at capacity
+                raise RuntimeError(
+                    f"cache capacity {self.S} exhausted by active lanes")
+        active = np.asarray([r is not None for r in self.slot_req])
+        new_tok, self.gk, self.gv, self.amask = _step(
+            self.base, self.adapters, self.gk, self.gv, self.amask,
+            jnp.asarray(self.tokens), jnp.asarray(self.counts),
+            jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
+            cfg=self.cfg, spec=self.spec, paged_decode=self.paged_decode)
+        self.cur += 1
+        toks = np.asarray(new_tok)  # one host sync per step
+        for slot in range(self.n_slots):
+            if self.slot_req[slot] is None:
+                continue
+            self.counts[slot] += 1
+            self.tokens[slot] = int(toks[slot])
+            self._emit(slot, int(toks[slot]))

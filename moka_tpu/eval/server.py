@@ -105,3 +105,55 @@ def serve(generate_fn: Callable, host: str = "0.0.0.0", port: int = 8000,
     server = ThreadingHTTPServer((host, port), make_handler(batcher))
     server.batcher = batcher
     return server
+
+
+class _EngineFront:
+    """MicroBatcher-shaped front for a continuous-batching DecodeEngine:
+    ``submit(item)`` prepares one request (prep_fn -> (embeds, prompt_mask,
+    masks)), hands it to the engine, and returns a queue that resolves to
+    decoded text.  Unlike MicroBatcher there is no batching window — the
+    engine admits requests into free decode lanes mid-stream."""
+
+    def __init__(self, engine, prep_fn: Callable, decode_fn: Callable,
+                 max_new_tokens: int = 128):
+        self.engine = engine
+        self.prep_fn = prep_fn
+        self.decode_fn = decode_fn
+        self.max_new_tokens = max_new_tokens
+        engine.start()
+
+    def submit(self, item) -> "queue.Queue":
+        out: queue.Queue = queue.Queue(maxsize=1)
+
+        def _wait(fut):
+            toks = fut.get()
+            try:
+                out.put(self.decode_fn(toks))
+            except Exception as e:
+                out.put(f"ERROR: {type(e).__name__}: {e}")
+
+        try:
+            embeds, prompt_mask, masks = self.prep_fn(item)
+            fut = self.engine.submit(embeds, prompt_mask, masks,
+                                     max_new_tokens=self.max_new_tokens)
+        except Exception as e:
+            out.put(f"ERROR: {type(e).__name__}: {e}")
+            return out
+        threading.Thread(target=_wait, args=(fut,), daemon=True).start()
+        return out
+
+    def stop(self):
+        self.engine.stop()
+
+
+def serve_continuous(engine, prep_fn: Callable, decode_fn: Callable,
+                     host: str = "0.0.0.0", port: int = 8000,
+                     max_new_tokens: int = 128) -> ThreadingHTTPServer:
+    """HTTP server over a continuous-batching engine (eval/engine.py):
+    requests join free decode lanes immediately instead of waiting for a
+    micro-batch window + full-batch completion."""
+    front = _EngineFront(engine, prep_fn, decode_fn,
+                         max_new_tokens=max_new_tokens)
+    server = ThreadingHTTPServer((host, port), make_handler(front))
+    server.batcher = front
+    return server

@@ -1,0 +1,195 @@
+"""Continuous-batching engine: output parity with the batch greedy decoder,
+mid-stream admission, slot reuse, and cursor-wrap compaction."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from moka_tpu.core.config import LlamaConfig
+from moka_tpu.eval.decode import greedy_generate
+from moka_tpu.eval.engine import DecodeEngine
+from moka_tpu.models import llama
+from moka_tpu.ops.moka import MokaSpec
+
+CFG = LlamaConfig.tiny()
+SPEC = MokaSpec.avt(rank=4, dropout_rate=0.0)
+EOS = 2
+
+
+@pytest.fixture(scope="module")
+def model():
+    r1, r2 = jax.random.split(jax.random.key(0))
+    base = llama.init_llama_params(r1, CFG, dtype=jnp.float32)
+    adapters = llama.init_moka_adapters(r2, CFG, SPEC)
+    adapters = jax.tree.map(lambda x: x + 0.01 if x.ndim == 3 else x,
+                            adapters)
+    return base, adapters
+
+
+def _prompts(seed=0, n=4, lo=3, hi=9):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(4, CFG.vocab_size, rng.integers(lo, hi)).astype(
+        np.int32) for _ in range(n)]
+
+
+def _reference_outputs(model, prompts, max_new):
+    """Per-request batch-1 greedy_generate (left-pad irrelevant at b=1)."""
+    base, adapters = model
+    outs = []
+    for p in prompts:
+        embeds = jnp.take(base["embed"], jnp.asarray(p)[None], axis=0)
+        mask = jnp.ones((1, len(p)), jnp.float32)
+        toks = np.asarray(greedy_generate(
+            base, adapters, cfg=CFG, spec=SPEC, inputs_embeds=embeds,
+            prompt_mask=mask, masks=None, max_new_tokens=max_new,
+            eos_id=EOS, pad_id=0, use_flash=False, paged_decode=False))[0]
+        # strip pad fill after eos; keep the emitted eos itself
+        keep = []
+        for t in toks:
+            keep.append(int(t))
+            if t == EOS:
+                break
+        outs.append(keep)
+    return outs
+
+
+def _submit(engine, base, p, max_new, bucket=16):
+    n = len(p)
+    padded = np.zeros(bucket, np.int32)
+    padded[:n] = p
+    embeds = jnp.take(base["embed"], jnp.asarray(padded)[None], axis=0)
+    mask = np.zeros((1, bucket), np.float32)
+    mask[0, :n] = 1
+    return engine.submit(embeds, mask, max_new_tokens=max_new)
+
+
+def _strip(toks):
+    keep = []
+    for t in toks:
+        keep.append(int(t))
+        if t == EOS:
+            break
+    return keep
+
+
+def test_engine_matches_batch_greedy(model):
+    base, adapters = model
+    prompts = _prompts()
+    max_new = 12
+    ref = _reference_outputs(model, prompts, max_new)
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=4,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, base, p, max_new) for p in prompts]
+    eng.run_until_drained()
+    got = [_strip(f.get_nowait()) for f in futs]
+    assert got == ref, (got, ref)
+
+
+def test_engine_mid_stream_admission(model):
+    """More requests than slots: later requests join as lanes free; every
+    output still matches the per-request reference."""
+    base, adapters = model
+    prompts = _prompts(seed=1, n=7)
+    max_new = 10
+    ref = _reference_outputs(model, prompts, max_new)
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=96, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, base, p, max_new) for p in prompts]
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+
+
+def test_engine_compaction(model):
+    """Tiny cache capacity forces the cursor to wrap: compaction gathers
+    live cells and outputs stay identical."""
+    base, adapters = model
+    prompts = _prompts(seed=2, n=6, lo=3, hi=7)
+    max_new = 8
+    ref = _reference_outputs(model, prompts, max_new)
+
+    # capacity barely above bucket+max_new: wraps several times over 6 reqs
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=28, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, base, p, max_new, bucket=8) for p in prompts]
+    steps = eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+    assert steps > 0
+
+
+def test_engine_rejects_oversized(model):
+    base, adapters = model
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=1,
+                       cache_capacity=16, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    p = np.arange(4, 12).astype(np.int32)
+    fut = _submit(eng, base, p, max_new=100, bucket=8)
+    eng.run_until_drained()
+    assert len(fut.get_nowait()) == 0
+
+
+def test_engine_http_serving(model):
+    """serve_continuous: HTTP requests flow through the engine's background
+    loop — two concurrent requests resolve with the same tokens the batch
+    decoder would produce."""
+    import json
+    import threading
+    import urllib.request
+
+    from moka_tpu.eval.server import serve_continuous
+
+    base, adapters = model
+    prompts = _prompts(seed=3, n=2, lo=4, hi=7)
+    max_new = 6
+    ref = _reference_outputs(model, prompts, max_new)
+    ref_txt = [" ".join(map(str, r)) for r in ref]
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+
+    def prep(item):
+        p = np.asarray(json.loads(item["prompt"]), np.int32)
+        padded = np.zeros(16, np.int32)
+        padded[:len(p)] = p
+        mask = np.zeros((1, 16), np.float32)
+        mask[0, :len(p)] = 1
+        embeds = jnp.take(base["embed"], jnp.asarray(padded)[None], axis=0)
+        return embeds, mask, None
+
+    def decode_txt(toks):
+        return " ".join(str(int(t)) for t in toks)
+
+    server = serve_continuous(eng, prep, decode_txt, host="127.0.0.1",
+                              port=0, max_new_tokens=max_new)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    outs = [None, None]
+
+    def fetch(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"prompt": json.dumps(prompts[i].tolist())}
+                            ).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            outs[i] = json.loads(resp.read())["output"]
+
+    threads = [threading.Thread(target=fetch, args=(i,)) for i in range(2)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        server.shutdown()
+        eng.stop()
+    assert outs == ref_txt, (outs, ref_txt)
