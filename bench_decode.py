@@ -74,6 +74,77 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
     }))
 
 
+def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
+                n_requests: int = 24, prompt_len: int = 256,
+                new_tokens: int = 64):
+    """Continuous-batching serving bench: a stream of short requests through
+    the DecodeEngine (mid-stream admission, slot reuse) vs the same workload
+    as sequential static batches through greedy_generate."""
+    import jax
+    import jax.numpy as jnp
+    from bench import _candidates, _enable_compile_cache
+    _enable_compile_cache()
+    from moka_tpu.eval.decode import greedy_generate
+    from moka_tpu.eval.engine import DecodeEngine
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+
+    cfg = _candidates()[cfg_name][0]
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
+    r1, r2 = jax.random.split(jax.random.key(0))
+    base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    adapters = llama.init_moka_adapters(r2, cfg, spec)
+
+    rng = np.random.default_rng(0)
+    reqs = [(jnp.asarray(rng.standard_normal((1, prompt_len, cfg.dim)),
+                         jnp.bfloat16),
+             jnp.ones((1, prompt_len), jnp.int32))
+            for _ in range(n_requests)]
+
+    def run_engine():
+        eng = DecodeEngine(base, adapters, cfg=cfg, spec=spec,
+                           n_slots=n_slots,
+                           cache_capacity=prompt_len + 2 * new_tokens,
+                           eos_id=10 ** 9, use_flash=True)
+        waiters = [eng.submit(e, m, max_new_tokens=new_tokens)
+                   for e, m in reqs]
+        eng.run_until_drained()
+        return sum(len(w.get(timeout=1)) for w in waiters)
+
+    def run_static():
+        total = 0
+        for i in range(0, n_requests, n_slots):
+            chunk = reqs[i:i + n_slots]
+            embeds = jnp.concatenate([e for e, _ in chunk], axis=0)
+            pmask = jnp.concatenate([m for _, m in chunk], axis=0)
+            out = np.asarray(greedy_generate(
+                base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
+                prompt_mask=pmask, masks=None, max_new_tokens=new_tokens,
+                eos_id=10 ** 9, pad_id=0, use_flash=True))
+            total += out.shape[0] * new_tokens
+        return total
+
+    results = {}
+    for name, fn in (("engine", run_engine), ("static", run_static)):
+        fn()  # compile warmup
+        t0 = time.perf_counter()
+        n_tok = fn()
+        dt = time.perf_counter() - t0
+        results[name] = {"tokens": n_tok, "wall_s": round(dt, 3),
+                         "tokens_per_sec": round(n_tok / dt, 1)}
+    print(json.dumps({
+        "metric": "serving_decode_tokens_per_sec",
+        "value": results["engine"]["tokens_per_sec"],
+        "unit": "tokens/s",
+        "detail": {"config": cfg_name, "n_slots": n_slots,
+                   "n_requests": n_requests, "prompt_len": prompt_len,
+                   "new_tokens": new_tokens, **results},
+    }))
+
+
 if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
-    main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv)
+    if "--engine" in sys.argv:
+        main_engine(pos[0] if pos else "llama_3b")
+    else:
+        main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv)

@@ -48,6 +48,13 @@ VARIANTS = {
     # + saved flash residuals (out/lse): bwd skips the flash fwd recompute
     "i4_pnl":          (4, 1024, "proj_nokv_lse", True, False, "rbg", 4),
     "i8_qkvod_lse":    (4, 1024, "qkvod_lse",     True, False, "rbg", 8),
+    # round-2c: batch scaling on top of the winning int4 recipes (b8 thrashed
+    # at int8+qkvod; int4 + the lse policies change the memory picture)
+    "i4_pnl_b6":       (6, 1024, "proj_nokv_lse", True, False, "rbg", 4),
+    "i4_pnl_b8":       (8, 1024, "proj_nokv_lse", True, False, "rbg", 4),
+    "i4_qkvod_lse_b8": (8, 1024, "qkvod_lse",     True, False, "rbg", 4),
+    "i4_qkvod_lse_b6": (6, 1024, "qkvod_lse",     True, False, "rbg", 4),
+    "i4_dots":         (4, 1024, "dots",          True, False, "rbg", 4),
 }
 
 

@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--adapter-fp32", action="store_true",
                    help="true-fp32 adapter einsums (default: bf16-in/"
                         "fp32-acc, the tuned recipe)")
+    p.add_argument("--qformer-question-tokenizer",
+                   help="BERT-vocab tokenizer.json: enables instruction-"
+                        "aware Q-Former projection (question text fed to the "
+                        "projector's text stream; the reference supports it "
+                        "but passes None in its live stages)")
     return p
 
 
@@ -175,7 +180,13 @@ def main(argv=None):
     nq_v = cfg.vl_projector.num_query_tokens
     nq_a = cfg.al_projector.num_query_tokens
     n_frames = 2 if args.model_preset == "tiny" else 10
+    qf_tok = None
+    if args.qformer_question_tokenizer:
+        from tokenizers import Tokenizer as _BertTok
+        _bt = _BertTok.from_file(args.qformer_question_tokenizer)
+        qf_tok = lambda s: _bt.encode(s).ids  # noqa: E731
     ds = UnifiedDataset(tok.as_tokenize(), mode="train",
+                        qformer_tokenize=qf_tok,
                         avqa_annotation=args.avqa_annotation,
                         ave_annotation=args.ave_annotation,
                         ave_data_root=args.ave_data_root,

@@ -49,6 +49,16 @@ def main(argv=None):
     from moka_tpu.cli.finetune import make_mesh_from_flag
 
     init_distributed()
+    # the reference pretrains the two branches in separate runs
+    # (pretrain_visual.sh / pretrain_audio.sh); a mixed batch would need
+    # both towers and per-modality audio shapes — reject early
+    if args.branch == "visual" and args.audio_json:
+        raise SystemExit("--branch visual cannot take --audio-json "
+                         "(run the audio branch separately, like the "
+                         "reference's pretrain_audio.sh)")
+    if args.branch == "audio" and (args.image_json or args.video_json):
+        raise SystemExit("--branch audio cannot take --image-json/"
+                         "--video-json (run the visual branch separately)")
     mesh = make_mesh_from_flag(args.mesh)
     tok = load_tokenizer(args.tokenizer_json)
     cfg = unified.UnifiedConfig.avt_7b(vocab_size=tok.vocab_size)

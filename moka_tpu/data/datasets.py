@@ -57,9 +57,20 @@ class UnifiedDataset:
                  ave_annotation: str | None = None,
                  ave_data_root: str | None = None,
                  video_frame_nums: int = 10, image_size: int = 224,
-                 n_video_tokens: int = 320, n_audio_tokens: int = 320):
+                 n_video_tokens: int = 320, n_audio_tokens: int = 320,
+                 qformer_tokenize: Callable[[str], list[int]] | None = None,
+                 qformer_question_len: int = 32):
+        """qformer_tokenize: optional BERT-vocab ``encode(text)->ids`` for
+        instruction-aware Q-Former projection (the reference supports passing
+        the question into the Q-Former's text stream,
+        ``multimodal_encoder.py:132-151``, but its live stages pass None —
+        ``unified_arch.py:185,196,212``).  When set, ``collate`` emits
+        ``qformer_question_ids``/``qformer_question_mask`` of static shape
+        (b, qformer_question_len), consumed by ``unified.encode_modalities``."""
         self.tok = tokenize
         self.mode = mode
+        self.qformer_tokenize = qformer_tokenize
+        self.qformer_question_len = qformer_question_len
         self.video_frame_nums = video_frame_nums
         self.image_size = image_size
         self.n_video_tokens = n_video_tokens
@@ -154,6 +165,16 @@ class UnifiedDataset:
         data["video"] = self._video(s["video_path"])
         data["audio"] = (self._audio_avqa if s["task_name"] == "avqa" else
                          self._audio_ave)(s["audio_path"])
+        if self.qformer_tokenize is not None:
+            # AVQA carries the raw question; AVE's "question" is the fixed
+            # span between <question_start>/<question_end>
+            q = s.get("question")
+            if q is None:
+                inst = s["instruction"]
+                i = inst.find("<question_start>")
+                j = inst.find("<question_end>")
+                q = inst[i + len("<question_start>"):j] if 0 <= i < j else inst
+            data["question_text"] = q
         return data
 
     def collate(self, items: list[dict], pad_to: int | None = None) -> dict:
@@ -177,6 +198,16 @@ class UnifiedDataset:
         batch = asm.pad_batch(assembled, self.tok.pad_id, pad_to=pad_to)
         batch["video"] = np.stack([it["video"] for it in items])
         batch["audio"] = np.stack([it["audio"] for it in items])
+        if self.qformer_tokenize is not None:
+            n = self.qformer_question_len
+            ids = np.zeros((len(items), n), np.int32)
+            mask = np.zeros((len(items), n), np.float32)
+            for i, it in enumerate(items):
+                q = self.qformer_tokenize(it["question_text"])[:n]
+                ids[i, :len(q)] = q
+                mask[i, :len(q)] = 1.0
+            batch["qformer_question_ids"] = ids
+            batch["qformer_question_mask"] = mask
         if self.mode != "train":
             batch["meta"] = [it["meta"] for it in items]
             batch["output"] = [it["output"] for it in items]

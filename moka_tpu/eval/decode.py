@@ -51,7 +51,9 @@ def _greedy_generate(base: dict, adapters: dict | None, *,
         S = -(-S // 256) * 256
 
     cache = llama.init_kv_cache(cfg, b, S, dtype=inputs_embeds.dtype)
-    cache_mask = jnp.pad(prompt_mask, ((0, 0), (0, max_new_tokens)))
+    # mask covers the FULL allocation (S may exceed L+max_new_tokens when
+    # rounded up for the paged kernel; the tail stays masked off)
+    cache_mask = jnp.pad(prompt_mask, ((0, 0), (0, S - L)))
     pos = positions_from_mask(prompt_mask)
 
     logits, cache = llama.forward(

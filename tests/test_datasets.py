@@ -92,6 +92,35 @@ def test_unified_dataset_avqa(avqa_fixture):
     assert n_sup == len(tok.encode(item["output"]))
 
 
+def test_qformer_question_conditioning_keys(avqa_fixture):
+    """With a BERT-vocab tokenize, collate emits the static-shape question
+    ids/mask consumed by the instruction-aware Q-Former path."""
+    tok = toy_tokenizer()
+    bert_vocab = {}
+
+    def bert_tok(text):
+        out = []
+        for w in text.split():
+            if w not in bert_vocab:
+                bert_vocab[w] = 5 + len(bert_vocab)
+            out.append(bert_vocab[w])
+        return out
+
+    ds = UnifiedDataset(tok, mode="train", avqa_annotation=avqa_fixture,
+                        video_frame_nums=4, n_video_tokens=8,
+                        n_audio_tokens=8, qformer_tokenize=bert_tok,
+                        qformer_question_len=16)
+    item = ds[0]
+    assert item["question_text"] == "how many instruments ?"
+    batch = ds.collate([item])
+    assert batch["qformer_question_ids"].shape == (1, 16)
+    assert batch["qformer_question_mask"].shape == (1, 16)
+    n = len(bert_tok("how many instruments ?"))
+    assert batch["qformer_question_mask"].sum() == n
+    assert (batch["qformer_question_ids"][0, :n] > 0).all()
+    assert (batch["qformer_question_ids"][0, n:] == 0).all()
+
+
 def test_avqa_audio_windows_match_reference_arithmetic():
     """60s at 16k: windows at t=0,6,...,54; t=0 left-padded."""
     wav = np.arange(16000 * 60, dtype=np.float32)

@@ -135,6 +135,33 @@ def test_engine_rejects_oversized(model):
     assert len(fut.get_nowait()) == 0
 
 
+def test_engine_tp_sharded_base(model):
+    """Distributed serving: the engine with the frozen base sharded over an
+    (fsdp x model) mesh produces the same tokens as the replicated engine —
+    GSPMD inserts the collectives; the scheduler stays host-side."""
+    from moka_tpu.core.config import MeshConfig
+    from moka_tpu.parallel import sharding as shardlib
+    from moka_tpu.parallel.mesh import make_mesh
+
+    base, adapters = model
+    prompts = _prompts(seed=4, n=5)
+    max_new = 8
+    ref = _reference_outputs(model, prompts, max_new)
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=4, model=2))
+    sharded = shardlib.shard_params(mesh, base)
+    q_spec = str(sharded["layers"]["q"].sharding.spec)
+    assert "model" in q_spec, q_spec  # really TP-sharded, not replicated
+
+    eng = DecodeEngine(sharded, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, sharded, p, max_new) for p in prompts]
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+
+
 def test_engine_http_serving(model):
     """serve_continuous: HTTP requests flow through the engine's background
     loop — two concurrent requests resolve with the same tokens the batch

@@ -31,6 +31,32 @@ def test_paged_decode_matches_eager(KH, G):
                                atol=2e-5)
 
 
+def test_greedy_paged_unaligned_allocation():
+    """paged_decode rounds the cache allocation up to a block multiple; the
+    cache mask must cover the FULL allocation (regression: prompt+new not a
+    multiple of 256 raised a shape error in the traced eager-bias path) and
+    tokens must match the unpaged decoder."""
+    from moka_tpu.core.config import LlamaConfig
+    from moka_tpu.eval.decode import greedy_generate
+    from moka_tpu.models import llama
+
+    cfg = LlamaConfig.tiny()
+    base = llama.init_llama_params(jax.random.key(0), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    b, L = 2, 20  # L + 12 = 32, NOT a multiple of 256 -> S rounds to 256
+    embeds = jnp.asarray(rng.standard_normal((b, L, cfg.dim)), jnp.float32)
+    pmask = np.ones((b, L), np.float32)
+    pmask[0, :5] = 0  # left padding
+    pmask = jnp.asarray(pmask)
+    kw = dict(cfg=cfg, spec=None, inputs_embeds=embeds, prompt_mask=pmask,
+              masks=None, max_new_tokens=12, eos_id=10 ** 9, pad_id=0,
+              use_flash=False)
+    got = np.asarray(greedy_generate(base, None, paged_decode=True, **kw))
+    want = np.asarray(greedy_generate(base, None, paged_decode=False, **kw))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_paged_decode_skips_tail_blocks():
     """Values in cache slots beyond `length` must not affect the output."""
     rng = np.random.default_rng(1)
