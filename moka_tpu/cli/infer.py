@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="with --serve: continuous batching (slot-based "
                         "decode engine; requests join free lanes mid-"
                         "stream) instead of micro-batch windows")
+    p.add_argument("--steps-per-dispatch", type=int, default=8,
+                   help="decode steps scanned per device dispatch in the "
+                        "continuous engine (amortizes per-dispatch host "
+                        "sync; admission latency grows with it)")
     p.add_argument("--serve", action="store_true",
                    help="start the micro-batching HTTP server instead of "
                         "offline JSONL inference")
@@ -125,7 +129,8 @@ def main(argv=None):
             frozen["llama"], trainable.get("adapters"), cfg=cfg.llama,
             spec=cfg.spec, n_slots=8,
             cache_capacity=args.pad_to + args.max_new_tokens,
-            eos_id=tok.eos_id, pad_id=tok.pad_id)
+            eos_id=tok.eos_id, pad_id=tok.pad_id,
+            steps_per_dispatch=args.steps_per_dispatch)
 
         def prep(item):
             ids = np.asarray(t.encode(item["prompt"]), np.int64)

@@ -28,17 +28,35 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="runs/train_vt")
     p.add_argument("--attn-weight", type=float, default=0.05)
     p.add_argument("--lora-r", type=int, default=4)
+    p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--lora-dropout", type=float, default=0.05)
     p.add_argument("--learning-rate", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--global-batch", type=int, default=32)
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--mesh", default="fsdp")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--save-steps", type=float, default=0,
+                   help="absolute steps, or a 0-1 fraction of total steps")
+    p.add_argument("--quantize-base", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="int8/int4 weight-only frozen LLaMA base "
+                        "(QLoRA-style); bare flag = int8")
+    p.add_argument("--remat-policy", default="auto",
+                   help="per-layer remat policy (see llama._remat_policy); "
+                        "'auto' = 'qkvod' (the tuned single-chip recipe)")
+    p.add_argument("--host-offload", action="store_true",
+                   help="place the (sharded) frozen base in pinned host "
+                        "memory")
+    p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
+                   help="'tiny' = small random-init model for smoke tests "
+                        "(no checkpoints needed)")
     return p
 
 
 def iter_vt_samples(data_json: str, image_root: str, tokenize, pad_id: int,
-                    image_placeholder_id: int, num_image_tokens: int = 32):
+                    image_placeholder_id: int, num_image_tokens: int = 32,
+                    image_size: int = 224):
     """LLaVA-Instruct conversations -> single-turn VT samples
     (``train/train.py:75-156``: multi-turn split, <image> x32 expansion,
     [/INST]...</s> target spans)."""
@@ -65,7 +83,7 @@ def iter_vt_samples(data_json: str, image_root: str, tokenize, pad_id: int,
             labels[n_prompt:] = ids[n_prompt:]
             sample = build_vt_sample(ids, labels, image_placeholder_id,
                                     pad_id, num_image_tokens)
-            sample["pixel_values"] = load_image(image_path)
+            sample["pixel_values"] = load_image(image_path, size=image_size)
             yield sample
 
 
@@ -78,6 +96,7 @@ def main(argv=None):
     from moka_tpu.data.tokenizer import load_tokenizer
     from moka_tpu.data.vt_dataset import collate_vt
     from moka_tpu.models import llava
+    from moka_tpu.ops.moka import MokaSpec
     from moka_tpu.parallel import sharding as shardlib
     from moka_tpu.parallel.mesh import init_distributed
     from moka_tpu.train import checkpoint as ckpt
@@ -87,15 +106,53 @@ def main(argv=None):
     init_distributed()
     mesh = make_mesh_from_flag(args.mesh)
     tok = load_tokenizer(args.tokenizer_json)
-    cfg = llava.LlavaConfig.vt_7b(vocab_size=tok.vocab_size,
-                                  attn_weight=args.attn_weight)
-    frozen = {
-        "llama": imp.import_llama(imp.load_torch(args.llama_ckpt),
-                                  cfg.llama),
-        "clip": imp.import_clip(imp.load_torch(args.clip_ckpt), cfg.clip,
-                                dtype=jnp.bfloat16),
-    }
-    frozen = shardlib.shard_params(mesh, frozen)
+    if args.model_preset == "tiny":
+        import dataclasses as _dc
+        base = llava.LlavaConfig.tiny()
+        cfg = _dc.replace(
+            base,
+            llama=_dc.replace(base.llama, vocab_size=max(
+                tok.vocab_size, base.llama.vocab_size)),
+            spec=MokaSpec.vt(rank=args.lora_r, lora_alpha=args.lora_alpha,
+                             attn_weight=args.attn_weight,
+                             dropout_rate=args.lora_dropout))
+    else:
+        cfg = llava.LlavaConfig.vt_7b(vocab_size=tok.vocab_size,
+                                      attn_weight=args.attn_weight,
+                                      rank=args.lora_r,
+                                      lora_alpha=args.lora_alpha,
+                                      dropout_rate=args.lora_dropout)
+    remat_policy = args.remat_policy
+    if remat_policy == "auto":
+        remat_policy = None if args.model_preset == "tiny" else "qkvod"
+    elif remat_policy in ("none", "full"):
+        remat_policy = None
+    if args.llama_ckpt:
+        if args.quantize_base:
+            from moka_tpu.ops.quant import import_llama_quantized
+            llama_params = import_llama_quantized(
+                imp.load_torch(args.llama_ckpt), cfg.llama,
+                bits=args.quantize_base)
+        else:
+            llama_params = imp.import_llama(imp.load_torch(args.llama_ckpt),
+                                            cfg.llama)
+        frozen = {
+            "llama": llama_params,
+            "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
+                                    cfg.clip, dtype=jnp.bfloat16),
+        }
+    else:
+        # random init (smoke / debug mode, like finetune without ckpts)
+        frozen = llava.init_frozen(
+            jax.random.key(0), cfg,
+            dtype=jnp.float32 if args.model_preset == "tiny"
+            else jnp.bfloat16)
+        if args.quantize_base:
+            from moka_tpu.ops.quant import quantize_llama_base
+            frozen["llama"] = quantize_llama_base(frozen["llama"],
+                                                  bits=args.quantize_base)
+    frozen = shardlib.shard_params(mesh, frozen,
+                                   host_offload=args.host_offload)
     trainable = llava.init_trainable(jax.random.key(args.seed), cfg)
     if args.visual_pretrain:
         sd = imp.load_torch(args.visual_pretrain)
@@ -104,14 +161,18 @@ def main(argv=None):
     image_ph = tok.token_to_id["<image>"]
     samples = list(iter_vt_samples(args.data_json, args.image_root,
                                    tok.as_tokenize(), tok.pad_id, image_ph,
-                                   cfg.projector.num_query_tokens))
+                                   cfg.projector.num_query_tokens,
+                                   image_size=cfg.clip.image_size))
     per_step = args.global_batch
     total_steps = max(len(samples) // per_step, 1) * args.epochs
     tcfg = TrainConfig(learning_rate=args.learning_rate,
                        num_epochs=args.epochs, global_batch_size=per_step,
-                       output_dir=args.output_dir, seed=args.seed)
-    trainer = Trainer(llava.llava_loss(cfg, remat=True), trainable, frozen,
-                      tcfg, total_steps)
+                       save_every_steps=args.save_steps,
+                       output_dir=args.output_dir, seed=args.seed,
+                       remat_policy=remat_policy)
+    trainer = Trainer(llava.llava_loss(cfg, remat=True,
+                                       remat_policy=remat_policy),
+                      trainable, frozen, tcfg, total_steps)
 
     def batches():
         rng = np.random.default_rng(args.seed)

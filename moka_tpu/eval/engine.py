@@ -32,6 +32,7 @@ the engine, one prefill executable per prompt bucket.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import queue
@@ -56,11 +57,13 @@ def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
              inputs_embeds: Array, prompt_mask: Array,
              masks: llama.MaskBundle | None, use_flash: bool = False,
              cache_dtype=jnp.bfloat16):
-    """Batch-1 prefill into a fresh lane cache sized to the prompt bucket.
+    """Batched prefill into fresh lane caches sized to the prompt bucket.
 
-    Returns (first_token scalar, lane_k/lane_v (layers, Lp, K, hd))."""
-    _, Lp, _ = inputs_embeds.shape
-    cache = llama.init_kv_cache(cfg, 1, Lp, dtype=cache_dtype)
+    inputs_embeds (n, Lp, d): one or more queued requests sharing a bucket
+    (admission groups them — one dispatch instead of n).
+    Returns (first tokens (n,), lane_k/lane_v (layers, n, Lp, K, hd))."""
+    n, Lp, _ = inputs_embeds.shape
+    cache = llama.init_kv_cache(cfg, n, Lp, dtype=cache_dtype)
     pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)
     logits, cache = llama.forward(
         base, cfg, adapters=adapters, spec=spec,
@@ -68,31 +71,32 @@ def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
         attn_mask=prompt_mask, positions=pos, cache=cache,
         use_flash=use_flash)
     # last valid prompt position (works for left- OR right-padded prompts)
-    m = prompt_mask[0]
-    last_idx = (Lp - 1 - jnp.argmax(jnp.flip(m))).astype(jnp.int32)
-    last = jax.lax.dynamic_index_in_dim(logits[0], last_idx, axis=0,
-                                        keepdims=False)
-    tok = jnp.argmax(last, axis=-1).astype(jnp.int32)
-    return tok, cache["k"][:, 0], cache["v"][:, 0]
+    last_idx = (Lp - 1 - jnp.argmax(jnp.flip(prompt_mask, axis=1), axis=1)
+                ).astype(jnp.int32)
+    last = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)
+    tok = jnp.argmax(last[:, 0, :], axis=-1).astype(jnp.int32)
+    return tok, cache["k"], cache["v"]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _insert(gk: Array, gv: Array, amask: Array, lane_k: Array, lane_v: Array,
-            lane_mask: Array, slot: Array):
-    """Write one prefilled lane into the global cache at ``slot``.
+def _insert(gk: Array, gv: Array, amask: Array, lanes_k: Array,
+            lanes_v: Array, lane_masks: Array, slots: Array):
+    """Write n prefilled lanes into the global cache in ONE dispatch.
 
-    lane_k/v are (layers, Lp, K, hd) with Lp <= S; the lane row beyond Lp is
-    zeroed (mask cleared) so stale cells from the previous occupant never
-    leak into attention."""
+    lanes_k/v are (layers, n, Lp, K, hd) with Lp <= S; each lane row beyond
+    Lp is zeroed (mask cleared) so stale cells from the previous occupant
+    never leak into attention.  The n-loop unrolls at trace time (n <=
+    n_slots); one executable per (n, Lp) admission-group shape."""
     S = gk.shape[2]
-    Lp = lane_k.shape[1]
+    Lp = lanes_k.shape[2]
     pad = ((0, 0), (0, S - Lp), (0, 0), (0, 0))
-    gk = jax.lax.dynamic_update_index_in_dim(
-        gk, jnp.pad(lane_k, pad), slot, axis=1)
-    gv = jax.lax.dynamic_update_index_in_dim(
-        gv, jnp.pad(lane_v, pad), slot, axis=1)
-    amask = jax.lax.dynamic_update_index_in_dim(
-        amask, jnp.pad(lane_mask, ((0, S - Lp),)), slot, axis=0)
+    for i in range(slots.shape[0]):
+        gk = jax.lax.dynamic_update_index_in_dim(
+            gk, jnp.pad(lanes_k[:, i], pad), slots[i], axis=1)
+        gv = jax.lax.dynamic_update_index_in_dim(
+            gv, jnp.pad(lanes_v[:, i], pad), slots[i], axis=1)
+        amask = jax.lax.dynamic_update_index_in_dim(
+            amask, jnp.pad(lane_masks[i], ((0, S - Lp),)), slots[i], axis=0)
     return gk, gv, amask
 
 
@@ -115,6 +119,54 @@ def _step(base, adapters, gk: Array, gv: Array, amask: Array,
         paged_decode=paged_decode)
     new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
     return new_tok, cache["k"], cache["v"], amask
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "spec", "paged_decode",
+                                    "n_steps", "eos_id"),
+                   donate_argnums=(2, 3, 4))
+def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
+                tokens: Array, counts: Array, active: Array,
+                budget: Array, cur: Array, *,
+                cfg: LlamaConfig, spec: MokaSpec | None,
+                paged_decode: bool, n_steps: int, eos_id: int):
+    """``n_steps`` decode steps in ONE dispatch (an on-device scan).
+
+    Per-dispatch host-sync cost dominates single-token steps on
+    high-latency links (remote/tunneled chips) and is pure overhead even
+    locally; scanning k steps amortizes it k-fold.  Lanes that emit eos or
+    exhaust their budget mid-scan go inactive on device (their later cells
+    stay masked, their output rows repeat the last token and are dropped by
+    the host scheduler).  Admission only happens between dispatches, so a
+    freed lane idles for the remainder of the scan — the throughput/latency
+    knob is ``steps_per_dispatch``.
+
+    Returns (toks (n_steps, slots), gk, gv, amask)."""
+
+    def body(carry, i):
+        gk, gv, amask, tokens, counts, active, budget = carry
+        cell = cur + i
+        amask = amask.at[:, cell].set(active.astype(amask.dtype))
+        embeds = jnp.take(base["embed"], tokens[:, None], axis=0)
+        cache = {"k": gk, "v": gv, "length": cell}
+        logits, cache = llama.forward(
+            base, cfg, adapters=adapters, spec=spec,
+            inputs_embeds=embeds, masks=None,
+            attn_mask=amask, positions=counts[:, None], cache=cache,
+            paged_decode=paged_decode)
+        new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        new_tok = jnp.where(active, new_tok, tokens)
+        counts = counts + active.astype(counts.dtype)
+        budget = budget - active.astype(budget.dtype)
+        active = active & (new_tok != eos_id) & (budget > 0)
+        return (cache["k"], cache["v"], amask, new_tok, counts, active,
+                budget), new_tok
+
+    carry, toks = jax.lax.scan(
+        body, (gk, gv, amask, tokens, counts, active, budget),
+        jnp.arange(n_steps))
+    gk, gv, amask = carry[:3]
+    return toks, gk, gv, amask
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -159,7 +211,8 @@ class DecodeEngine:
                  spec: MokaSpec | None, n_slots: int = 8,
                  cache_capacity: int = 2048, eos_id: int = 2,
                  pad_id: int = 0, use_flash: bool | None = None,
-                 paged_decode: bool = False,
+                 paged_decode: bool | None = None,
+                 steps_per_dispatch: int = 1,
                  cache_dtype=jnp.bfloat16):
         self.base, self.adapters = base, adapters
         self.cfg, self.spec = cfg, spec
@@ -168,7 +221,17 @@ class DecodeEngine:
         if use_flash is None:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
+        if paged_decode is None:
+            # length-aware decode attention reads only cells below the
+            # cursor; measured on v5e at 3B/b8 it wins at S>=1024 (+9%) but
+            # loses at S=512 (block-loop overhead > the saved reads), so
+            # auto-on only for capacities where the cache read dominates
+            paged_decode = (jax.default_backend() == "tpu"
+                            and cache_capacity >= 1024)
         self.paged_decode = paged_decode
+        # >1 = scan k decode steps per dispatch (amortizes the per-dispatch
+        # host sync; new requests wait up to k steps for admission)
+        self.steps_per_dispatch = steps_per_dispatch
 
         self.cache_dtype = cache_dtype
         cache = llama.init_kv_cache(cfg, n_slots, cache_capacity,
@@ -180,7 +243,9 @@ class DecodeEngine:
         self.counts = np.zeros(n_slots, np.int32)   # logical length per lane
         self.budget = np.zeros(n_slots, np.int32)   # remaining new tokens
         self.slot_req: list[_Request | None] = [None] * n_slots
-        self.pending: "queue.Queue[_Request]" = queue.Queue()
+        # deque (not Queue): admission peeks at the head to group
+        # same-bucket requests into one batched prefill
+        self.pending: "collections.deque[_Request]" = collections.deque()
         self._lock = threading.Lock()
 
     # -- public API --------------------------------------------------------
@@ -190,9 +255,9 @@ class DecodeEngine:
         """Queue one request; returns a Queue that receives the np.int32
         token array when generation finishes."""
         done: queue.Queue = queue.Queue(maxsize=1)
-        self.pending.put(_Request(np.asarray(embeds),
-                                  np.asarray(prompt_mask), masks,
-                                  max_new_tokens, done))
+        self.pending.append(_Request(np.asarray(embeds),
+                                     np.asarray(prompt_mask), masks,
+                                     max_new_tokens, done))
         return done
 
     def start(self) -> None:
@@ -224,8 +289,8 @@ class DecodeEngine:
                     if r is not None:
                         r.done.put(err)
                 self.slot_req = [None] * self.n_slots
-                while not self.pending.empty():
-                    self.pending.get().done.put(err)
+                while self.pending:
+                    self.pending.popleft().done.put(err)
                 self._stop = True
                 return
             if not busy:
@@ -235,7 +300,7 @@ class DecodeEngine:
         """Drive the engine until no pending or active requests remain.
         Returns the number of decode steps executed."""
         steps = 0
-        while (not self.pending.empty() or any(self.slot_req)) \
+        while (self.pending or any(self.slot_req)) \
                 and steps < max_steps:
             self._admit()
             if any(self.slot_req):
@@ -248,33 +313,52 @@ class DecodeEngine:
     def _free_slots(self):
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
+    def _fits(self, req: _Request) -> bool:
+        if int(req.prompt_mask.sum()) + req.max_new_tokens > self.S:
+            req.done.put(np.asarray([], np.int32))  # cannot fit: reject
+            return False
+        return True
+
     def _admit(self):
         free = self._free_slots()
-        while free and not self.pending.empty():
-            req = self.pending.get()
-            slot = free.pop(0)
-            n = int(req.prompt_mask.sum())
-            Lp = req.embeds.shape[1]
-            if n + req.max_new_tokens > self.S:
-                req.done.put(np.asarray([], np.int32))  # cannot fit: reject
+        while free and self.pending:
+            req = self.pending.popleft()
+            if not self._fits(req):
                 continue
-            tok, lane_k, lane_v = _prefill(
+            Lp = req.embeds.shape[1]
+            # group consecutive text requests sharing the prompt bucket
+            # into ONE batched prefill (n dispatches -> 1); multimodal
+            # requests (masks set) prefill alone
+            group = [req]
+            while (req.masks is None and len(group) < len(free)
+                   and self.pending and self.pending[0].masks is None
+                   and self.pending[0].embeds.shape[1] == Lp):
+                nxt = self.pending.popleft()
+                if self._fits(nxt):
+                    group.append(nxt)
+            toks, ks, vs = _prefill(
                 self.base, self.adapters, cfg=self.cfg, spec=self.spec,
-                inputs_embeds=jnp.asarray(req.embeds),
-                prompt_mask=jnp.asarray(req.prompt_mask, jnp.float32),
+                inputs_embeds=jnp.asarray(
+                    np.concatenate([r.embeds for r in group])),
+                prompt_mask=jnp.asarray(
+                    np.concatenate([r.prompt_mask for r in group]),
+                    jnp.float32),
                 masks=req.masks, use_flash=self.use_flash,
                 cache_dtype=self.cache_dtype)
+            toks = np.asarray(toks)
+            slots = [free.pop(0) for _ in group]
             self.gk, self.gv, self.amask = _insert(
-                self.gk, self.gv, self.amask, lane_k, lane_v,
-                jnp.asarray(req.prompt_mask[0], jnp.float32),
-                jnp.asarray(slot, jnp.int32))
-            first = int(tok)
-            self.slot_req[slot] = req
-            self.tokens[slot] = first
-            self.counts[slot] = n
-            self.budget[slot] = req.max_new_tokens
-            self.cur = max(self.cur, Lp)
-            self._emit(slot, first)
+                self.gk, self.gv, self.amask, ks, vs,
+                jnp.asarray(np.concatenate(
+                    [r.prompt_mask for r in group]), jnp.float32),
+                jnp.asarray(slots, jnp.int32))
+            for i, (r, slot) in enumerate(zip(group, slots)):
+                self.slot_req[slot] = r
+                self.tokens[slot] = int(toks[i])
+                self.counts[slot] = int(r.prompt_mask.sum())
+                self.budget[slot] = r.max_new_tokens
+                self.cur = max(self.cur, Lp)
+                self._emit(slot, int(toks[i]))
 
     def _emit(self, slot: int, tok: int):
         """Record one generated token; retire the lane on eos/budget."""
@@ -288,24 +372,40 @@ class DecodeEngine:
             self.counts[slot] = 0
 
     def _decode_step(self):
-        if self.cur >= self.S:
+        k = self.steps_per_dispatch
+        if self.cur > self.S - k:
             self.gk, self.gv, self.amask, new_cur = _compact(
                 self.gk, self.gv, self.amask)
             self.cur = int(new_cur)
-            if self.cur >= self.S:  # genuinely full: active lanes at capacity
+            if self.cur > self.S - k:  # genuinely full: lanes at capacity
                 raise RuntimeError(
                     f"cache capacity {self.S} exhausted by active lanes")
         active = np.asarray([r is not None for r in self.slot_req])
-        new_tok, self.gk, self.gv, self.amask = _step(
-            self.base, self.adapters, self.gk, self.gv, self.amask,
-            jnp.asarray(self.tokens), jnp.asarray(self.counts),
-            jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
-            cfg=self.cfg, spec=self.spec, paged_decode=self.paged_decode)
-        self.cur += 1
-        toks = np.asarray(new_tok)  # one host sync per step
-        for slot in range(self.n_slots):
-            if self.slot_req[slot] is None:
-                continue
-            self.counts[slot] += 1
-            self.tokens[slot] = int(toks[slot])
-            self._emit(slot, int(toks[slot]))
+        if k == 1:
+            new_tok, self.gk, self.gv, self.amask = _step(
+                self.base, self.adapters, self.gk, self.gv, self.amask,
+                jnp.asarray(self.tokens), jnp.asarray(self.counts),
+                jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
+                cfg=self.cfg, spec=self.spec,
+                paged_decode=self.paged_decode)
+            toks = np.asarray(new_tok)[None]  # one host sync per dispatch
+        else:
+            toks_d, self.gk, self.gv, self.amask = _step_multi(
+                self.base, self.adapters, self.gk, self.gv, self.amask,
+                jnp.asarray(self.tokens), jnp.asarray(self.counts),
+                jnp.asarray(active), jnp.asarray(self.budget),
+                jnp.asarray(self.cur, jnp.int32),
+                cfg=self.cfg, spec=self.spec,
+                paged_decode=self.paged_decode, n_steps=k,
+                eos_id=self.eos_id)
+            toks = np.asarray(toks_d)  # (k, slots)
+        self.cur += k
+        for i in range(toks.shape[0]):
+            for slot in range(self.n_slots):
+                # skip lanes that were empty at dispatch or retired at an
+                # earlier micro-step (their rows repeat the last token)
+                if self.slot_req[slot] is None or not active[slot]:
+                    continue
+                self.counts[slot] += 1
+                self.tokens[slot] = int(toks[i, slot])
+                self._emit(slot, int(toks[i, slot]))

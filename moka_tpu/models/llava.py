@@ -42,14 +42,16 @@ class LlavaConfig:
     vision_feature_layer: int = -2
 
     @staticmethod
-    def vt_7b(vocab_size: int = 32000,
-              attn_weight: float = 0.05) -> "LlavaConfig":
+    def vt_7b(vocab_size: int = 32000, attn_weight: float = 0.05,
+              rank: int = 4, lora_alpha: float = 16.0,
+              dropout_rate: float = 0.05) -> "LlavaConfig":
         return LlavaConfig(
             llama=LlamaConfig.llama2_7b(vocab_size=vocab_size),
             clip=ClipVitConfig.vit_l_14(),
             projector=ProjectorConfig.visual(d_model=4096),
-            spec=MokaSpec.vt(rank=4, lora_alpha=16.0,
-                             attn_weight=attn_weight),
+            spec=MokaSpec.vt(rank=rank, lora_alpha=lora_alpha,
+                             attn_weight=attn_weight,
+                             dropout_rate=dropout_rate),
         )
 
     @staticmethod
@@ -112,7 +114,8 @@ def _masks(batch: dict) -> llama.MaskBundle:
 
 
 def llava_loss(cfg: LlavaConfig, remat: bool = True,
-               use_flash: bool = False, fused_loss: bool = False):
+               use_flash: bool = False, fused_loss: bool = False,
+               remat_policy: str | None = None):
     def loss_fn(trainable, frozen, batch, rng):
         embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
         out, _ = llama.forward(
@@ -120,6 +123,7 @@ def llava_loss(cfg: LlavaConfig, remat: bool = True,
             spec=cfg.spec, inputs_embeds=embeds, masks=_masks(batch),
             attn_mask=batch.get("attn_mask"),
             positions=batch.get("positions"), remat=remat,
+            remat_policy=remat_policy,
             use_flash=use_flash, logits=not fused_loss,
             dropout_rng=rng if cfg.spec.dropout_rate > 0 else None)
         if fused_loss:

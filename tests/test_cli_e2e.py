@@ -93,3 +93,48 @@ def test_finetune_cli_tiny_end_to_end(tiny_world):
     from moka_tpu.eval.scorers.avqa import score_rows
     out_scores = score_rows(rows)
     assert "overall" in out_scores
+
+
+def test_train_vt_cli_tiny_end_to_end(tmp_path):
+    """VT driver smoke: tiny random-init LLaVA, LLaVA-Instruct-style JSON +
+    synthetic image -> finite losses + model.safetensors in the reference
+    schema."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from PIL import Image
+
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    for w in ("what color is the square ? purple [INST] [/INST] <<SYS>> "
+              "you are helpful assistant .").split():
+        vocab.setdefault(w, len(vocab))
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok_path = str(tmp_path / "tokenizer.json")
+    tok.save(tok_path)
+
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    Image.new("RGB", (48, 48), (120, 30, 200)).save(img_root / "a.png")
+    data = [{"image": "a.png",
+             "conversations": [
+                 {"from": "human", "value": "<image> what color is the square ?"},
+                 {"from": "gpt", "value": "purple"}]}
+            for _ in range(4)]
+    data_json = str(tmp_path / "insts.json")
+    json.dump(data, open(data_json, "w"))
+
+    out = str(tmp_path / "run")
+    from moka_tpu.cli.train_vt import main
+    main(["--tokenizer-json", tok_path,
+          "--data-json", data_json,
+          "--image-root", str(img_root),
+          "--output-dir", out,
+          "--model-preset", "tiny",
+          "--global-batch", "2",
+          "--epochs", "1",
+          "--pad-to", "64",
+          "--lora-dropout", "0.0",
+          "--learning-rate", "1e-3"])
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert len(metrics) >= 2
+    assert all(np.isfinite(m["loss"]) for m in metrics)

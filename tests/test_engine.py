@@ -124,6 +124,51 @@ def test_engine_compaction(model):
     assert steps > 0
 
 
+def test_engine_multi_step_dispatch(model):
+    """steps_per_dispatch>1 (k decode steps scanned per dispatch): outputs
+    identical to the per-request reference, including lanes that hit eos or
+    budget mid-scan and compaction between dispatches."""
+    base, adapters = model
+    prompts = _prompts(seed=5, n=6)
+    max_new = 10  # NOT a multiple of k: budget exhausts mid-scan
+    ref = _reference_outputs(model, prompts, max_new)
+
+    # paged (length-aware) decode attention inside the multi-step scan —
+    # the TPU-default combination, exercised here on CPU (plain XLA path)
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=48, eos_id=EOS, use_flash=False,
+                       steps_per_dispatch=4, paged_decode=True,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, base, p, max_new) for p in prompts]
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+
+
+def test_engine_mixed_bucket_admission(model):
+    """Batched admission groups only consecutive same-bucket requests;
+    alternating buckets (and an unfittable request in the middle) still
+    produce per-request reference outputs."""
+    base, adapters = model
+    prompts = _prompts(seed=6, n=6)
+    max_new = 8
+    ref = _reference_outputs(model, prompts, max_new)
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=4,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = []
+    for i, p in enumerate(prompts):
+        futs.append(_submit(eng, base, p, max_new,
+                            bucket=16 if i % 2 == 0 else 24))
+        if i == 2:  # wedge an unfittable request between groups
+            bad = _submit(eng, base, prompts[0], max_new=200, bucket=16)
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+    assert len(bad.get_nowait()) == 0  # rejected, not hung
+
+
 def test_engine_rejects_oversized(model):
     base, adapters = model
     eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=1,
