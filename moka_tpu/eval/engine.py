@@ -195,6 +195,8 @@ class _Request:
     max_new_tokens: int
     done: "queue.Queue"
     tokens: list = dataclasses.field(default_factory=list)
+    # optional live token feed: every emitted token id, then None (end)
+    stream: "queue.Queue | None" = None
 
 
 class DecodeEngine:
@@ -251,13 +253,15 @@ class DecodeEngine:
     # -- public API --------------------------------------------------------
 
     def submit(self, embeds, prompt_mask, masks=None,
-               max_new_tokens: int = 128) -> "queue.Queue":
+               max_new_tokens: int = 128,
+               stream: "queue.Queue | None" = None) -> "queue.Queue":
         """Queue one request; returns a Queue that receives the np.int32
-        token array when generation finishes."""
+        token array when generation finishes.  ``stream``: optional Queue
+        that receives each token id as it is emitted, then None."""
         done: queue.Queue = queue.Queue(maxsize=1)
         self.pending.append(_Request(np.asarray(embeds),
                                      np.asarray(prompt_mask), masks,
-                                     max_new_tokens, done))
+                                     max_new_tokens, done, stream=stream))
         return done
 
     def start(self) -> None:
@@ -287,10 +291,10 @@ class DecodeEngine:
                 err = np.asarray([], np.int32)
                 for r in self.slot_req:
                     if r is not None:
-                        r.done.put(err)
+                        self._finish(r, err)
                 self.slot_req = [None] * self.n_slots
                 while self.pending:
-                    self.pending.popleft().done.put(err)
+                    self._finish(self.pending.popleft(), err)
                 self._stop = True
                 return
             if not busy:
@@ -313,9 +317,15 @@ class DecodeEngine:
     def _free_slots(self):
         return [i for i, r in enumerate(self.slot_req) if r is None]
 
+    @staticmethod
+    def _finish(req: _Request, tokens: np.ndarray) -> None:
+        if req.stream is not None:
+            req.stream.put(None)  # end-of-stream sentinel
+        req.done.put(tokens)
+
     def _fits(self, req: _Request) -> bool:
         if int(req.prompt_mask.sum()) + req.max_new_tokens > self.S:
-            req.done.put(np.asarray([], np.int32))  # cannot fit: reject
+            self._finish(req, np.asarray([], np.int32))  # cannot fit
             return False
         return True
 
@@ -364,9 +374,11 @@ class DecodeEngine:
         """Record one generated token; retire the lane on eos/budget."""
         req = self.slot_req[slot]
         req.tokens.append(tok)
+        if req.stream is not None:
+            req.stream.put(tok)
         self.budget[slot] -= 1
         if tok == self.eos_id or self.budget[slot] <= 0:
-            req.done.put(np.asarray(req.tokens, np.int32))
+            self._finish(req, np.asarray(req.tokens, np.int32))
             self.slot_req[slot] = None
             self.amask = self.amask.at[slot].set(0.0)  # reclaimable cells
             self.counts[slot] = 0

@@ -69,21 +69,26 @@ class MicroBatcher:
 
 def make_handler(batcher: MicroBatcher):
     class Handler(BaseHTTPRequestHandler):
+        def _read_item(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            item = {"prompt": req["prompt"]}
+            if req.get("image"):
+                from PIL import Image
+                from moka_tpu.data.benchmarks import _img_from_pil
+                img = Image.open(io.BytesIO(
+                    base64.b64decode(req["image"])))
+                item["image"] = _img_from_pil(img)
+            return item
+
         def do_POST(self):
+            if self.path == "/generate_stream":
+                return self._do_stream()
             if self.path != "/generate":
                 self.send_error(404)
                 return
-            length = int(self.headers.get("Content-Length", 0))
             try:
-                req = json.loads(self.rfile.read(length))
-                item = {"prompt": req["prompt"]}
-                if req.get("image"):
-                    from PIL import Image
-                    from moka_tpu.data.benchmarks import _img_from_pil
-                    img = Image.open(io.BytesIO(
-                        base64.b64decode(req["image"])))
-                    item["image"] = _img_from_pil(img)
-                out = batcher.submit(item).get(timeout=300)
+                out = batcher.submit(self._read_item()).get(timeout=300)
                 body = json.dumps({"output": out}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
@@ -92,6 +97,34 @@ def make_handler(batcher: MicroBatcher):
                 self.wfile.write(body)
             except Exception as e:
                 self.send_error(400, str(e))
+
+        def _do_stream(self):
+            """ndjson token stream: one {"token": id} line per emitted
+            token as the engine decodes it, then {"output": text}.  Only
+            the continuous engine front supports it (the micro-batcher
+            decodes full batches — no per-token signal)."""
+            if not hasattr(batcher, "submit_stream"):
+                self.send_error(
+                    501, "streaming requires the continuous engine "
+                         "(--serve --continuous)")
+                return
+            try:
+                stream, done = batcher.submit_stream(self._read_item())
+            except Exception as e:
+                self.send_error(400, str(e))
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            while True:
+                tok = stream.get(timeout=300)
+                if tok is None:
+                    break
+                self.wfile.write(
+                    (json.dumps({"token": int(tok)}) + "\n").encode())
+                self.wfile.flush()
+            out = done.get(timeout=300)
+            self.wfile.write((json.dumps({"output": out}) + "\n").encode())
 
         def log_message(self, *a):  # quiet
             pass
@@ -141,6 +174,26 @@ class _EngineFront:
             return out
         threading.Thread(target=_wait, args=(fut,), daemon=True).start()
         return out
+
+    def submit_stream(self, item):
+        """Returns (token_queue, text_queue): token ids as emitted (None =
+        end), then the decoded text."""
+        stream: queue.Queue = queue.Queue()
+        out: queue.Queue = queue.Queue(maxsize=1)
+        embeds, prompt_mask, masks = self.prep_fn(item)
+        fut = self.engine.submit(embeds, prompt_mask, masks,
+                                 max_new_tokens=self.max_new_tokens,
+                                 stream=stream)
+
+        def _wait():
+            toks = fut.get()
+            try:
+                out.put(self.decode_fn(toks))
+            except Exception as e:
+                out.put(f"ERROR: {type(e).__name__}: {e}")
+
+        threading.Thread(target=_wait, daemon=True).start()
+        return stream, out
 
     def stop(self):
         self.engine.stop()

@@ -207,6 +207,57 @@ def test_engine_tp_sharded_base(model):
     assert got == ref, (got, ref)
 
 
+def test_engine_http_streaming(model):
+    """/generate_stream: token ids arrive as ndjson lines while the engine
+    decodes, final line carries the decoded text; tokens match the
+    per-request reference."""
+    import json
+    import threading
+    import urllib.request
+
+    from moka_tpu.eval.server import serve_continuous
+
+    base, adapters = model
+    prompts = _prompts(seed=7, n=1, lo=4, hi=7)
+    max_new = 6
+    ref = _reference_outputs(model, prompts, max_new)[0]
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+
+    def prep(item):
+        p = np.asarray(json.loads(item["prompt"]), np.int32)
+        padded = np.zeros(16, np.int32)
+        padded[:len(p)] = p
+        mask = np.zeros((1, 16), np.float32)
+        mask[0, :len(p)] = 1
+        embeds = jnp.take(base["embed"], jnp.asarray(padded)[None], axis=0)
+        return embeds, mask, None
+
+    def decode_txt(toks):
+        return " ".join(str(int(t)) for t in toks)
+
+    server = serve_continuous(eng, prep, decode_txt, host="127.0.0.1",
+                              port=0, max_new_tokens=max_new)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate_stream",
+            data=json.dumps({"prompt": json.dumps(prompts[0].tolist())}
+                            ).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            lines = [json.loads(l) for l in resp.read().splitlines()]
+    finally:
+        server.shutdown()
+        eng.stop()
+    toks = [l["token"] for l in lines if "token" in l]
+    assert _strip(toks) == ref, (toks, ref)
+    assert lines[-1]["output"] == " ".join(map(str, _strip(toks)))
+
+
 def test_engine_http_serving(model):
     """serve_continuous: HTTP requests flow through the engine's background
     loop — two concurrent requests resolve with the same tokens the batch
