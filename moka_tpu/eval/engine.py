@@ -302,7 +302,8 @@ class DecodeEngine:
 
     def run_until_drained(self, max_steps: int = 100_000) -> int:
         """Drive the engine until no pending or active requests remain.
-        Returns the number of decode steps executed."""
+        Returns the number of decode dispatches executed (each runs
+        ``steps_per_dispatch`` token steps)."""
         steps = 0
         while (self.pending or any(self.slot_req)) \
                 and steps < max_steps:
