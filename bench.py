@@ -36,7 +36,7 @@ def _enable_compile_cache():
 
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
-        fused_moka=False, rng_impl=None):
+        fused_moka=False, rng_impl=None, ce_chunk=128):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -87,7 +87,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
                                    use_flash=use_flash,
                                    fused_loss=fused_loss,
                                    remat_policy=remat_policy,
-                                   use_fused_moka=fused_moka)
+                                   use_fused_moka=fused_moka,
+                                   ce_chunk=ce_chunk)
     step = make_train_step(loss_fn, tx, donate=True)
 
     # warmup (compile) + 2 steps

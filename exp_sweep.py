@@ -55,6 +55,11 @@ VARIANTS = {
     "i4_qkvod_lse_b8": (8, 1024, "qkvod_lse",     True, False, "rbg", 4),
     "i4_qkvod_lse_b6": (6, 1024, "qkvod_lse",     True, False, "rbg", 4),
     "i4_dots":         (4, 1024, "dots",          True, False, "rbg", 4),
+    # round-2d: CE chunk-size on top of the flagship recipe (fewer lm_head
+    # re-reads per step: nc fwd + nc remat + nc bwd-dot passes over 250 MB)
+    "i4_pnl_ce256":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 256),
+    "i4_pnl_ce512":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 512),
+    "i4_pnl_ce1024":   (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 1024),
 }
 
 
@@ -65,10 +70,11 @@ def run_one(name):
     b, L, pol, bf16, fused = v[:5]
     rng_impl = v[5] if len(v) > 5 else None
     bits = v[6] if len(v) > 6 else 8
+    ce_chunk = v[7] if len(v) > 7 else 128
     cfg = LlamaConfig.llama2_7b(vocab_size=32011)
     out = bench.run(f"llama2_7b_int{bits}", cfg, b, L, quantize=bits,
                     remat_policy=pol, bf16_dots=bf16, fused_moka=fused,
-                    rng_impl=rng_impl)
+                    rng_impl=rng_impl, ce_chunk=ce_chunk)
     out["variant"] = name
     print(json.dumps(out))
 

@@ -26,6 +26,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--output-dir", default="runs/infer")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-new-tokens", type=int, default=500)
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature; 0 = greedy (the reference "
+                        "eval recipe). Serving also accepts per-request "
+                        "temperature/top_k/top_p in the HTTP body")
+    p.add_argument("--top-k", type=int, default=0)
+    p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
@@ -187,7 +193,8 @@ def main(argv=None):
             toks_out = unified.generate(
                 trainable, frozen, cfg, batch,
                 max_new_tokens=args.max_new_tokens, eos_id=tok.eos_id,
-                pad_id=tok.pad_id)
+                pad_id=tok.pad_id, temperature=args.temperature,
+                top_k=args.top_k, top_p=args.top_p)
             return [tok.decode([x for x in row.tolist() if x != tok.pad_id])
                     for row in np.asarray(toks_out)]
 
@@ -213,7 +220,9 @@ def main(argv=None):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         toks = unified.generate(trainable, frozen, cfg, batch,
                                 max_new_tokens=args.max_new_tokens,
-                                eos_id=tok.eos_id, pad_id=tok.pad_id)
+                                eos_id=tok.eos_id, pad_id=tok.pad_id,
+                                temperature=args.temperature,
+                                top_k=args.top_k, top_p=args.top_p)
         rows = []
         for i, t in enumerate(np.asarray(toks)):
             text = tok.decode([x for x in t.tolist() if x != tok.pad_id])

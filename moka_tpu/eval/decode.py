@@ -42,8 +42,19 @@ def _greedy_generate(base: dict, adapters: dict | None, *,
                      inputs_embeds: Array, prompt_mask: Array,
                      masks: llama.MaskBundle | None,
                      max_new_tokens: int, eos_id: int, pad_id: int = 0,
-                     use_flash: bool = False, paged_decode: bool = False):
+                     use_flash: bool = False, paged_decode: bool = False,
+                     sample_rng: Array | None = None,
+                     temperature: Array | None = None,
+                     top_k: Array | None = None,
+                     top_p: Array | None = None):
     b, L, _ = inputs_embeds.shape
+
+    def pick(step_logits: Array, t) -> Array:
+        if sample_rng is None:
+            return jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        from moka_tpu.eval.sampling import sample_tokens
+        return sample_tokens(step_logits, jax.random.fold_in(sample_rng, t),
+                             temperature, top_k, top_p)
     S = L + max_new_tokens
     if paged_decode:
         # the paged kernel DMAs fixed-size blocks; round the allocation up
@@ -61,7 +72,7 @@ def _greedy_generate(base: dict, adapters: dict | None, *,
         inputs_embeds=inputs_embeds, masks=masks,
         attn_mask=cache_mask, positions=pos, cache=cache,
         use_flash=use_flash)  # prefill only; single-token steps stay eager
-    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    next_tok = pick(logits[:, -1, :], 0)
 
     n_prompt = jnp.sum(prompt_mask, axis=-1)  # (b,) real prompt lengths
 
@@ -75,7 +86,7 @@ def _greedy_generate(base: dict, adapters: dict | None, *,
             inputs_embeds=embeds, masks=None,
             attn_mask=cache_mask, positions=step_pos, cache=cache,
             paged_decode=paged_decode)
-        new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        new_tok = pick(logits[:, -1, :], t + 1)
         out = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)
         new_tok = jnp.where(done, eos_id, new_tok)
@@ -123,3 +134,39 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         prompt_mask=prompt_mask, masks=masks,
         max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
         use_flash=use_flash, paged_decode=paged_decode)
+
+
+def sample_generate(base: dict, adapters: dict | None, *,
+                    cfg: LlamaConfig, spec: MokaSpec | None,
+                    inputs_embeds: Array, prompt_mask: Array,
+                    masks: llama.MaskBundle | None,
+                    max_new_tokens: int, eos_id: int, pad_id: int = 0,
+                    rng: Array | None = None,
+                    temperature: Array | float = 1.0,
+                    top_k: Array | int = 0,
+                    top_p: Array | float = 1.0,
+                    use_flash: bool | None = None,
+                    paged_decode: bool | None = None):
+    """Stochastic decode: temperature / top-k / top-p per sample.
+
+    Mirrors the reference's HF ``generate(do_sample=True)`` path (its forked
+    GenerationMixin inherits the standard TopK/TopP warpers —
+    ``my_utils.py`` ``sample()``); parameters may be scalars or (b,) arrays,
+    and rows with ``temperature == 0`` run greedy.  The same jitted scan as
+    ``greedy_generate`` — sampling adds one warp+gumbel-argmax per step.
+    """
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    if paged_decode is None:
+        paged_decode = jax.default_backend() == "tpu"
+    b = inputs_embeds.shape[0]
+    bc = lambda x, dt: jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(x, dt)),
+                                        (b,))
+    return _greedy_generate(
+        base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
+        prompt_mask=prompt_mask, masks=masks,
+        max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
+        use_flash=use_flash, paged_decode=paged_decode,
+        sample_rng=rng if rng is not None else jax.random.key(0),
+        temperature=bc(temperature, jnp.float32),
+        top_k=bc(top_k, jnp.int32), top_p=bc(top_p, jnp.float32))

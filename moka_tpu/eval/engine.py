@@ -16,10 +16,12 @@ Design (no change to ``llama.forward`` needed):
   step already does).  Per-lane validity lives in the (slots, S) attention
   mask; RoPE positions are per-lane token counts, so a lane's logical
   sequence is independent of which physical cells it occupies.
-- A new request prefills ALONE (batch 1, prompt bucket-padded right) into a
-  fresh lane cache, then is inserted into a free slot with one
-  ``dynamic_update_index_in_dim`` — admission never recompiles or disturbs
-  running lanes.
+- New requests prefill into fresh lane caches (prompts bucket-padded right)
+  and are inserted into free slots with one ``dynamic_update_index_in_dim``
+  each — admission never recompiles or disturbs running lanes.  Consecutive
+  queued requests sharing a prompt bucket prefill as ONE batch (text and
+  multimodal alike; multimodal groups concatenate their modality-mask
+  bundles along the batch axis).
 - When ``cur`` hits capacity, a jitted *compaction* gathers each lane's
   valid cells to the front of its row (cached k/v already contain rotary
   phases, so moving cells is value-preserving) and the cursor rewinds to
@@ -55,13 +57,16 @@ Array = jax.Array
                                              "cache_dtype"))
 def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
              inputs_embeds: Array, prompt_mask: Array,
-             masks: llama.MaskBundle | None, use_flash: bool = False,
-             cache_dtype=jnp.bfloat16):
+             masks: llama.MaskBundle | None,
+             rng: Array, temperature: Array, top_k: Array, top_p: Array,
+             use_flash: bool = False, cache_dtype=jnp.bfloat16):
     """Batched prefill into fresh lane caches sized to the prompt bucket.
 
     inputs_embeds (n, Lp, d): one or more queued requests sharing a bucket
-    (admission groups them — one dispatch instead of n).
+    (admission groups them — one dispatch instead of n).  The first token is
+    sampled per request (temperature == 0 rows take the argmax).
     Returns (first tokens (n,), lane_k/lane_v (layers, n, Lp, K, hd))."""
+    from moka_tpu.eval.sampling import sample_tokens
     n, Lp, _ = inputs_embeds.shape
     cache = llama.init_kv_cache(cfg, n, Lp, dtype=cache_dtype)
     pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)
@@ -74,7 +79,7 @@ def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
     last_idx = (Lp - 1 - jnp.argmax(jnp.flip(prompt_mask, axis=1), axis=1)
                 ).astype(jnp.int32)
     last = jnp.take_along_axis(logits, last_idx[:, None, None], axis=1)
-    tok = jnp.argmax(last[:, 0, :], axis=-1).astype(jnp.int32)
+    tok = sample_tokens(last[:, 0, :], rng, temperature, top_k, top_p)
     return tok, cache["k"], cache["v"]
 
 
@@ -104,11 +109,14 @@ def _insert(gk: Array, gv: Array, amask: Array, lanes_k: Array,
                    static_argnames=("cfg", "spec", "paged_decode"),
                    donate_argnums=(2, 3, 4))
 def _step(base, adapters, gk: Array, gv: Array, amask: Array,
-          tokens: Array, counts: Array, active: Array, cur: Array, *,
+          tokens: Array, counts: Array, active: Array, cur: Array,
+          rng: Array, temperature: Array, top_k: Array, top_p: Array, *,
           cfg: LlamaConfig, spec: MokaSpec | None,
           paged_decode: bool = False):
     """One decode step for every lane: write k/v at cell ``cur``, attend
-    over each lane's valid cells, return next tokens."""
+    over each lane's valid cells, sample next tokens (per-lane temperature /
+    top_k / top_p; temperature == 0 lanes take the argmax)."""
+    from moka_tpu.eval.sampling import sample_tokens
     amask = amask.at[:, cur].set(active.astype(amask.dtype))
     embeds = jnp.take(base["embed"], tokens[:, None], axis=0)
     cache = {"k": gk, "v": gv, "length": cur}
@@ -117,7 +125,7 @@ def _step(base, adapters, gk: Array, gv: Array, amask: Array,
         inputs_embeds=embeds, masks=None,
         attn_mask=amask, positions=counts[:, None], cache=cache,
         paged_decode=paged_decode)
-    new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    new_tok = sample_tokens(logits[:, -1, :], rng, temperature, top_k, top_p)
     return new_tok, cache["k"], cache["v"], amask
 
 
@@ -127,7 +135,9 @@ def _step(base, adapters, gk: Array, gv: Array, amask: Array,
                    donate_argnums=(2, 3, 4))
 def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
                 tokens: Array, counts: Array, active: Array,
-                budget: Array, cur: Array, *,
+                budget: Array, cur: Array,
+                rng: Array, temperature: Array, top_k: Array,
+                top_p: Array, *,
                 cfg: LlamaConfig, spec: MokaSpec | None,
                 paged_decode: bool, n_steps: int, eos_id: int):
     """``n_steps`` decode steps in ONE dispatch (an on-device scan).
@@ -142,6 +152,7 @@ def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
     knob is ``steps_per_dispatch``.
 
     Returns (toks (n_steps, slots), gk, gv, amask)."""
+    from moka_tpu.eval.sampling import sample_tokens
 
     def body(carry, i):
         gk, gv, amask, tokens, counts, active, budget = carry
@@ -154,7 +165,8 @@ def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
             inputs_embeds=embeds, masks=None,
             attn_mask=amask, positions=counts[:, None], cache=cache,
             paged_decode=paged_decode)
-        new_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        new_tok = sample_tokens(logits[:, -1, :], jax.random.fold_in(rng, i),
+                                temperature, top_k, top_p)
         new_tok = jnp.where(active, new_tok, tokens)
         counts = counts + active.astype(counts.dtype)
         budget = budget - active.astype(budget.dtype)
@@ -185,6 +197,22 @@ def _compact(gk: Array, gv: Array, amask: Array):
     return gk, gv, amask, jnp.max(counts)
 
 
+def _concat_masks(group) -> "llama.MaskBundle | None":
+    """Concatenate per-request MaskBundles along the batch axis.
+
+    modality is (M, 1, Lp) per request, question (1, Lp); a bucket-matched
+    admission group stacks to (M, n, Lp) / (n, Lp)."""
+    if group[0].masks is None:
+        return None
+    if len(group) == 1:
+        return group[0].masks
+    return llama.MaskBundle(
+        jnp.concatenate([jnp.asarray(r.masks.modality) for r in group],
+                        axis=1),
+        jnp.concatenate([jnp.asarray(r.masks.question) for r in group],
+                        axis=0))
+
+
 # ------------------------------------------------------------------- engine
 
 @dataclasses.dataclass
@@ -197,6 +225,10 @@ class _Request:
     tokens: list = dataclasses.field(default_factory=list)
     # optional live token feed: every emitted token id, then None (end)
     stream: "queue.Queue | None" = None
+    # per-request sampling (temperature 0 = greedy, HF do_sample=False)
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
 
 
 class DecodeEngine:
@@ -215,7 +247,7 @@ class DecodeEngine:
                  pad_id: int = 0, use_flash: bool | None = None,
                  paged_decode: bool | None = None,
                  steps_per_dispatch: int = 1,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, sample_seed: int = 0):
         self.base, self.adapters = base, adapters
         self.cfg, self.spec = cfg, spec
         self.n_slots, self.S = n_slots, cache_capacity
@@ -244,6 +276,12 @@ class DecodeEngine:
         self.tokens = np.zeros(n_slots, np.int32)   # last token per lane
         self.counts = np.zeros(n_slots, np.int32)   # logical length per lane
         self.budget = np.zeros(n_slots, np.int32)   # remaining new tokens
+        # per-lane sampling parameters (temperature 0 = greedy lane)
+        self.temp = np.zeros(n_slots, np.float32)
+        self.topk = np.zeros(n_slots, np.int32)
+        self.topp = np.ones(n_slots, np.float32)
+        self._key = jax.random.key(sample_seed)
+        self._dispatch_no = 0
         self.slot_req: list[_Request | None] = [None] * n_slots
         # deque (not Queue): admission peeks at the head to group
         # same-bucket requests into one batched prefill
@@ -254,14 +292,20 @@ class DecodeEngine:
 
     def submit(self, embeds, prompt_mask, masks=None,
                max_new_tokens: int = 128,
-               stream: "queue.Queue | None" = None) -> "queue.Queue":
+               stream: "queue.Queue | None" = None,
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 1.0) -> "queue.Queue":
         """Queue one request; returns a Queue that receives the np.int32
         token array when generation finishes.  ``stream``: optional Queue
-        that receives each token id as it is emitted, then None."""
+        that receives each token id as it is emitted, then None.
+        ``temperature``/``top_k``/``top_p``: per-request sampling; the
+        default temperature 0 decodes greedily (HF ``do_sample=False``)."""
         done: queue.Queue = queue.Queue(maxsize=1)
         self.pending.append(_Request(np.asarray(embeds),
                                      np.asarray(prompt_mask), masks,
-                                     max_new_tokens, done, stream=stream))
+                                     max_new_tokens, done, stream=stream,
+                                     temperature=float(temperature),
+                                     top_k=int(top_k), top_p=float(top_p)))
         return done
 
     def start(self) -> None:
@@ -337,16 +381,18 @@ class DecodeEngine:
             if not self._fits(req):
                 continue
             Lp = req.embeds.shape[1]
-            # group consecutive text requests sharing the prompt bucket
-            # into ONE batched prefill (n dispatches -> 1); multimodal
-            # requests (masks set) prefill alone
+            # group consecutive requests sharing the prompt bucket AND
+            # modality kind into ONE batched prefill (n dispatches -> 1);
+            # multimodal groups concatenate their mask bundles batch-wise
             group = [req]
-            while (req.masks is None and len(group) < len(free)
-                   and self.pending and self.pending[0].masks is None
+            is_mm = req.masks is not None
+            while (len(group) < len(free) and self.pending
+                   and (self.pending[0].masks is not None) == is_mm
                    and self.pending[0].embeds.shape[1] == Lp):
                 nxt = self.pending.popleft()
                 if self._fits(nxt):
                     group.append(nxt)
+            self._dispatch_no += 1
             toks, ks, vs = _prefill(
                 self.base, self.adapters, cfg=self.cfg, spec=self.spec,
                 inputs_embeds=jnp.asarray(
@@ -354,7 +400,13 @@ class DecodeEngine:
                 prompt_mask=jnp.asarray(
                     np.concatenate([r.prompt_mask for r in group]),
                     jnp.float32),
-                masks=req.masks, use_flash=self.use_flash,
+                masks=_concat_masks(group),
+                rng=jax.random.fold_in(self._key, self._dispatch_no),
+                temperature=jnp.asarray([r.temperature for r in group],
+                                        jnp.float32),
+                top_k=jnp.asarray([r.top_k for r in group], jnp.int32),
+                top_p=jnp.asarray([r.top_p for r in group], jnp.float32),
+                use_flash=self.use_flash,
                 cache_dtype=self.cache_dtype)
             toks = np.asarray(toks)
             slots = [free.pop(0) for _ in group]
@@ -368,6 +420,9 @@ class DecodeEngine:
                 self.tokens[slot] = int(toks[i])
                 self.counts[slot] = int(r.prompt_mask.sum())
                 self.budget[slot] = r.max_new_tokens
+                self.temp[slot] = r.temperature
+                self.topk[slot] = r.top_k
+                self.topp[slot] = r.top_p
                 self.cur = max(self.cur, Lp)
                 self._emit(slot, int(toks[i]))
 
@@ -394,11 +449,17 @@ class DecodeEngine:
                 raise RuntimeError(
                     f"cache capacity {self.S} exhausted by active lanes")
         active = np.asarray([r is not None for r in self.slot_req])
+        self._dispatch_no += 1
+        rng = jax.random.fold_in(self._key, self._dispatch_no)
+        temp = jnp.asarray(self.temp)
+        topk = jnp.asarray(self.topk)
+        topp = jnp.asarray(self.topp)
         if k == 1:
             new_tok, self.gk, self.gv, self.amask = _step(
                 self.base, self.adapters, self.gk, self.gv, self.amask,
                 jnp.asarray(self.tokens), jnp.asarray(self.counts),
                 jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
+                rng, temp, topk, topp,
                 cfg=self.cfg, spec=self.spec,
                 paged_decode=self.paged_decode)
             toks = np.asarray(new_tok)[None]  # one host sync per dispatch
@@ -408,6 +469,7 @@ class DecodeEngine:
                 jnp.asarray(self.tokens), jnp.asarray(self.counts),
                 jnp.asarray(active), jnp.asarray(self.budget),
                 jnp.asarray(self.cur, jnp.int32),
+                rng, temp, topk, topp,
                 cfg=self.cfg, spec=self.spec,
                 paged_decode=self.paged_decode, n_steps=k,
                 eos_id=self.eos_id)

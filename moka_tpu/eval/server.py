@@ -73,6 +73,9 @@ def make_handler(batcher: MicroBatcher):
             length = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(length))
             item = {"prompt": req["prompt"]}
+            for k in ("temperature", "top_k", "top_p", "max_new_tokens"):
+                if k in req:
+                    item[k] = req[k]
             if req.get("image"):
                 from PIL import Image
                 from moka_tpu.data.benchmarks import _img_from_pil
@@ -168,12 +171,23 @@ class _EngineFront:
         try:
             embeds, prompt_mask, masks = self.prep_fn(item)
             fut = self.engine.submit(embeds, prompt_mask, masks,
-                                     max_new_tokens=self.max_new_tokens)
+                                     **self._gen_kwargs(item))
         except Exception as e:
             out.put(f"ERROR: {type(e).__name__}: {e}")
             return out
         threading.Thread(target=_wait, args=(fut,), daemon=True).start()
         return out
+
+    def _gen_kwargs(self, item) -> dict:
+        """Per-request generation knobs from the HTTP body (sampling off by
+        default: temperature 0 = greedy, like HF do_sample=False)."""
+        return {
+            "max_new_tokens": int(item.get("max_new_tokens",
+                                           self.max_new_tokens)),
+            "temperature": float(item.get("temperature", 0.0)),
+            "top_k": int(item.get("top_k", 0)),
+            "top_p": float(item.get("top_p", 1.0)),
+        }
 
     def submit_stream(self, item):
         """Returns (token_queue, text_queue): token ids as emitted (None =
@@ -182,8 +196,7 @@ class _EngineFront:
         out: queue.Queue = queue.Queue(maxsize=1)
         embeds, prompt_mask, masks = self.prep_fn(item)
         fut = self.engine.submit(embeds, prompt_mask, masks,
-                                 max_new_tokens=self.max_new_tokens,
-                                 stream=stream)
+                                 stream=stream, **self._gen_kwargs(item))
 
         def _wait():
             toks = fut.get()

@@ -209,14 +209,23 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
 
 
 def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
-             max_new_tokens: int, eos_id: int, pad_id: int = 0) -> Array:
-    """Multimodal greedy generation (replaces UnifiedForCausalLM.generate +
-    the forked GenerationMixin)."""
-    from moka_tpu.eval.decode import greedy_generate
+             max_new_tokens: int, eos_id: int, pad_id: int = 0,
+             temperature: float = 0.0, top_k: int = 0,
+             top_p: float = 1.0, rng=None) -> Array:
+    """Multimodal generation (replaces UnifiedForCausalLM.generate + the
+    forked GenerationMixin).  Greedy by default (the reference's eval
+    drivers all run ``do_sample=False``); a nonzero ``temperature`` samples
+    with the optional top-k / top-p warpers (``eval/sampling.py``)."""
+    from moka_tpu.eval.decode import greedy_generate, sample_generate
     embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
     masks = llama.MaskBundle(batch["modality_masks"], batch["question_mask"])
+    common = dict(cfg=cfg.llama, spec=cfg.spec, inputs_embeds=embeds,
+                  prompt_mask=batch["attn_mask"], masks=masks,
+                  max_new_tokens=max_new_tokens, eos_id=eos_id,
+                  pad_id=pad_id)
+    if temperature > 0:
+        return sample_generate(
+            frozen["llama"], trainable.get("adapters"), rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p, **common)
     return greedy_generate(
-        frozen["llama"], trainable.get("adapters"), cfg=cfg.llama,
-        spec=cfg.spec, inputs_embeds=embeds,
-        prompt_mask=batch["attn_mask"], masks=masks,
-        max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id)
+        frozen["llama"], trainable.get("adapters"), **common)

@@ -17,7 +17,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          fused_loss: bool = False,
                          remat_policy: str | None = None,
                          use_fused_moka: bool = False,
-                         context_parallel=None):
+                         context_parallel=None,
+                         ce_chunk: int = 128):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -46,7 +47,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             use_fused_moka=use_fused_moka, context_parallel=context_parallel)
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
-                                               batch["labels"])
+                                               batch["labels"],
+                                               chunk=ce_chunk)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         ntok = jnp.sum(batch["labels"] != -100)

@@ -169,6 +169,56 @@ def test_engine_mixed_bucket_admission(model):
     assert len(bad.get_nowait()) == 0  # rejected, not hung
 
 
+def test_engine_multimodal_batched_admission(model):
+    """Multimodal requests (mask bundles) sharing a bucket prefill as ONE
+    batch — the mask bundles concatenate along the batch axis and every
+    output matches the per-request masked reference."""
+    base, adapters = model
+    rng = np.random.default_rng(8)
+    bucket, max_new = 16, 8
+    reqs, ref = [], []
+    for _ in range(4):
+        n = int(rng.integers(8, bucket + 1))
+        ids = rng.integers(4, CFG.vocab_size, n).astype(np.int32)
+        mod = np.zeros((3, 1, bucket), np.float32)
+        mod[0, 0, : n // 2] = 1
+        mod[1, 0, n // 2: 3 * n // 4] = 1
+        mod[2, 0, 3 * n // 4: n] = 1
+        q = np.zeros((1, bucket), np.float32)
+        q[0, 1:4] = 1
+
+        # reference: exact-length prompt (greedy_generate reads the last
+        # position's logits at prefill, so no right padding)
+        ref_embeds = jnp.take(base["embed"], jnp.asarray(ids)[None], axis=0)
+        ref_masks = llama.MaskBundle(jnp.asarray(mod[:, :, :n]),
+                                     jnp.asarray(q[:, :n]))
+        toks = np.asarray(greedy_generate(
+            base, adapters, cfg=CFG, spec=SPEC, inputs_embeds=ref_embeds,
+            prompt_mask=jnp.ones((1, n), jnp.float32), masks=ref_masks,
+            max_new_tokens=max_new, eos_id=EOS, pad_id=0,
+            use_flash=False, paged_decode=False))[0]
+        ref.append(_strip(toks))
+
+        # engine submission: bucket-padded right (the engine locates the
+        # last valid position from the prompt mask)
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = ids
+        pmask = np.zeros((1, bucket), np.float32)
+        pmask[0, :n] = 1
+        masks = llama.MaskBundle(jnp.asarray(mod), jnp.asarray(q))
+        embeds = jnp.take(base["embed"], jnp.asarray(padded)[None], axis=0)
+        reqs.append((embeds, pmask, masks))
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=4,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [eng.submit(e, m, masks=mk, max_new_tokens=max_new)
+            for e, m, mk in reqs]
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+
+
 def test_engine_rejects_oversized(model):
     base, adapters = model
     eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=1,
