@@ -36,7 +36,8 @@ def _enable_compile_cache():
 
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
-        fused_moka=False, rng_impl=None, ce_chunk=128):
+        fused_moka=False, rng_impl=None, ce_chunk=128,
+        dropout_rate=0.05, fwd_only=False, rank_attn=True):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -47,7 +48,10 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     from moka_tpu.train.optim import make_optimizer
     from moka_tpu.train.step import init_train_state, make_train_step
 
-    spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
+    spec = MokaSpec.avt(rank=4, dropout_rate=dropout_rate)
+    if not rank_attn:  # ablation probe: adapters without rank attention
+        import dataclasses as _dc
+        spec = _dc.replace(spec, attn_modalities=())
     if bf16_dots:
         spec = spec.with_bf16_dots()
     r1, r2 = jax.random.split(jax.random.key(0))
@@ -90,6 +94,12 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
                                    use_fused_moka=fused_moka,
                                    ce_chunk=ce_chunk)
     step = make_train_step(loss_fn, tx, donate=True)
+    if fwd_only:  # ablation probe: loss evaluation without backward
+        fwd = jax.jit(lambda s, f, b: loss_fn(s.params, f, b,
+                                              jax.random.key(1))[0])
+
+        def step(state, frozen, batch):  # noqa: same timing harness
+            return state, {"loss": fwd(state, frozen, batch)}
 
     # warmup (compile) + 2 steps
     for _ in range(3):

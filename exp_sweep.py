@@ -60,6 +60,14 @@ VARIANTS = {
     "i4_pnl_ce256":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 256),
     "i4_pnl_ce512":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 512),
     "i4_pnl_ce1024":   (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 1024),
+    # ablation probes (where does the non-useful time live?): forward-only
+    # loss, dropout off, rank attention off — timing diagnostics, not recipes
+    "probe_fwd":       (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"fwd_only": True}),
+    "probe_nodrop":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"dropout_rate": 0.0}),
+    "probe_noattn":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"rank_attn": False}),
 }
 
 
@@ -71,10 +79,11 @@ def run_one(name):
     rng_impl = v[5] if len(v) > 5 else None
     bits = v[6] if len(v) > 6 else 8
     ce_chunk = v[7] if len(v) > 7 else 128
+    extras = v[8] if len(v) > 8 else {}
     cfg = LlamaConfig.llama2_7b(vocab_size=32011)
     out = bench.run(f"llama2_7b_int{bits}", cfg, b, L, quantize=bits,
                     remat_policy=pol, bf16_dots=bf16, fused_moka=fused,
-                    rng_impl=rng_impl, ce_chunk=ce_chunk)
+                    rng_impl=rng_impl, ce_chunk=ce_chunk, **extras)
     out["variant"] = name
     print(json.dumps(out))
 
