@@ -29,9 +29,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.0,
                    help="sampling temperature; 0 = greedy (the reference "
                         "eval recipe). Serving also accepts per-request "
-                        "temperature/top_k/top_p in the HTTP body")
+                        "temperature/top_k/top_p/max_new_tokens in the "
+                        "HTTP body (max_new_tokens clamped to the server's "
+                        "--max-new-tokens)")
     p.add_argument("--top-k", type=int, default=0)
     p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0,
+                   help="sampling seed; each batch folds a running counter "
+                        "into key(seed) so samples vary across batches and "
+                        "runs are reproducible per seed")
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
@@ -53,6 +59,65 @@ def build_argparser() -> argparse.ArgumentParser:
                         "offline JSONL inference")
     p.add_argument("--port", type=int, default=8000)
     return p
+
+
+def make_serve_generate_fn(tok, trainable, frozen, cfg, *, pad_to: int,
+                           max_new_tokens: int, temperature: float = 0.0,
+                           top_k: int = 0, top_p: float = 1.0,
+                           seed: int = 0):
+    """Micro-batched serving generate fn (items -> texts).
+
+    Honors per-request ``temperature``/``top_k``/``top_p`` from the HTTP
+    body as per-row arrays (falling back to the server-wide flags) and
+    per-request ``max_new_tokens`` by truncating each row of the
+    batch-static decode (clamped to the server's ``--max-new-tokens``).
+    Each batch folds a running counter into ``key(seed)`` so samples vary
+    across batches but runs are reproducible per seed."""
+    import itertools
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.data import assembler as asmb
+    from moka_tpu.models import unified
+
+    nq = cfg.vl_projector.num_query_tokens
+    batch_counter = itertools.count()
+
+    def generate_texts(items):
+        t = tok.as_tokenize()
+        assembled, have_img = [], []
+        for it in items:
+            prompt = it["prompt"]
+            ids = np.asarray(t.encode(prompt), np.int64)
+            labels = np.full(len(ids), -100, np.int64)
+            assembled.append(asmb.assemble_sample(
+                ids, labels, t.token_to_id, t.pad_id,
+                n_video_tokens=nq if "image" in it else 0,
+                n_audio_tokens=0))
+            have_img.append("image" in it)
+        batch = asmb.pad_batch(assembled, t.pad_id, pad_to=pad_to)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if all(have_img):
+            batch["video"] = jnp.asarray(
+                np.stack([it["image"] for it in items]))[:, None]
+        temps = np.asarray([float(it.get("temperature", temperature))
+                            for it in items], np.float32)
+        topks = np.asarray([int(it.get("top_k", top_k))
+                            for it in items], np.int32)
+        topps = np.asarray([float(it.get("top_p", top_p))
+                            for it in items], np.float32)
+        mnts = [min(int(it.get("max_new_tokens", max_new_tokens)),
+                    max_new_tokens) for it in items]
+        rng = jax.random.fold_in(jax.random.key(seed), next(batch_counter))
+        toks_out = unified.generate(
+            trainable, frozen, cfg, batch,
+            max_new_tokens=max_new_tokens, eos_id=tok.eos_id,
+            pad_id=tok.pad_id, temperature=temps,
+            top_k=topks, top_p=topps, rng=rng)
+        return [tok.decode([x for x in row.tolist()[:n]
+                            if x != tok.pad_id])
+                for row, n in zip(np.asarray(toks_out), mnts)]
+
+    return generate_texts
 
 
 def main(argv=None):
@@ -169,35 +234,13 @@ def main(argv=None):
     if args.serve:
         # serving mode: text(+optional image) prompts through the same model
         from moka_tpu.eval.server import serve
-        nq = cfg.vl_projector.num_query_tokens
-
-        def generate_texts(items):
-            from moka_tpu.data import assembler as asmb
-            t = tok.as_tokenize()
-            assembled, have_img = [], []
-            for it in items:
-                prompt = it["prompt"]
-                ids = np.asarray(t.encode(prompt), np.int64)
-                labels = np.full(len(ids), -100, np.int64)
-                assembled.append(asmb.assemble_sample(
-                    ids, labels, t.token_to_id, t.pad_id,
-                    n_video_tokens=nq if "image" in it else 0,
-                    n_audio_tokens=0))
-                have_img.append("image" in it)
-            batch = asmb.pad_batch(assembled, t.pad_id,
-                                   pad_to=args.pad_to)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if all(have_img):
-                batch["video"] = jnp.asarray(
-                    np.stack([it["image"] for it in items]))[:, None]
-            toks_out = unified.generate(
-                trainable, frozen, cfg, batch,
-                max_new_tokens=args.max_new_tokens, eos_id=tok.eos_id,
-                pad_id=tok.pad_id, temperature=args.temperature,
-                top_k=args.top_k, top_p=args.top_p)
-            return [tok.decode([x for x in row.tolist() if x != tok.pad_id])
-                    for row in np.asarray(toks_out)]
-
+        generate_texts = make_serve_generate_fn(tok, trainable, frozen, cfg,
+                                                pad_to=args.pad_to,
+                                                max_new_tokens=args.max_new_tokens,
+                                                temperature=args.temperature,
+                                                top_k=args.top_k,
+                                                top_p=args.top_p,
+                                                seed=args.seed)
         server = serve(generate_texts, port=args.port)
         print(f"serving on :{server.server_address[1]}")
         server.serve_forever()
@@ -214,15 +257,21 @@ def main(argv=None):
                         n_audio_tokens=10 *
                         cfg.al_projector.num_query_tokens, **kw)
 
+    import itertools
+    batch_counter = itertools.count()
+
     def generate_fn(items):
         batch = ds.collate(items, pad_to=args.pad_to)
         meta, outputs = batch.pop("meta"), batch.pop("output")
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        rng = jax.random.fold_in(jax.random.key(args.seed),
+                                 next(batch_counter))
         toks = unified.generate(trainable, frozen, cfg, batch,
                                 max_new_tokens=args.max_new_tokens,
                                 eos_id=tok.eos_id, pad_id=tok.pad_id,
                                 temperature=args.temperature,
-                                top_k=args.top_k, top_p=args.top_p)
+                                top_k=args.top_k, top_p=args.top_p,
+                                rng=rng)
         rows = []
         for i, t in enumerate(np.asarray(toks)):
             text = tok.decode([x for x in t.tolist() if x != tok.pad_id])

@@ -34,6 +34,19 @@ def positions_from_mask(attn_mask: Array) -> Array:
     return jnp.maximum(pos, 0)
 
 
+def paged_decode_auto(cfg: LlamaConfig, capacity: int) -> bool:
+    """Measured gate for the length-aware decode block loop (PERFORMANCE.md
+    decode table): it wins only where the cache read dominates the step.
+    3B: +9% at S>=1024, -5% at S=512.  7B: ~tied-to-slightly-worse at
+    S=1024 (weight reads dominate), so large models need a longer cache
+    before the loop pays."""
+    if jax.default_backend() != "tpu":
+        return False
+    if cfg.dim >= 4096:  # 7B-class and up
+        return capacity >= 2048
+    return capacity >= 1024
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
                                              "eos_id", "pad_id",
                                              "use_flash", "paged_decode"))
@@ -121,14 +134,16 @@ def greedy_generate(base: dict, adapters: dict | None, *,
       paged_decode: length-aware block attention for the decode steps
         (reads only the valid cache prefix — ``ops/paged_decode.py``;
         measured +9% decode throughput at 3B/b8/S1024, more at longer
-        caches).  ``None`` = auto: on for TPU, off elsewhere (the block
-        loop only pays where HBM bandwidth is the decode bound).
+        caches).  ``None`` = auto via ``paged_decode_auto`` — the same
+        measured capacity/model-size gate the serving engine uses (the
+        block loop only pays where the cache read dominates the step).
       Returns (b, max_new_tokens) int32 tokens, pad_id after eos.
     """
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     if paged_decode is None:
-        paged_decode = jax.default_backend() == "tpu"
+        paged_decode = paged_decode_auto(
+            cfg, inputs_embeds.shape[1] + max_new_tokens)
     return _greedy_generate(
         base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
         prompt_mask=prompt_mask, masks=masks,
@@ -154,11 +169,17 @@ def sample_generate(base: dict, adapters: dict | None, *,
     ``my_utils.py`` ``sample()``); parameters may be scalars or (b,) arrays,
     and rows with ``temperature == 0`` run greedy.  The same jitted scan as
     ``greedy_generate`` — sampling adds one warp+gumbel-argmax per step.
+
+    ``rng=None`` falls back to ``jax.random.key(0)`` — a DETERMINISTIC
+    default (every call reuses the same per-step Gumbel noise); callers
+    wanting varied samples must thread a key (the CLI drivers fold a batch
+    counter into ``--seed``).
     """
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
     if paged_decode is None:
-        paged_decode = jax.default_backend() == "tpu"
+        paged_decode = paged_decode_auto(
+            cfg, inputs_embeds.shape[1] + max_new_tokens)
     b = inputs_embeds.shape[0]
     bc = lambda x, dt: jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(x, dt)),
                                         (b,))

@@ -256,12 +256,11 @@ class DecodeEngine:
             use_flash = jax.default_backend() == "tpu"
         self.use_flash = use_flash
         if paged_decode is None:
-            # length-aware decode attention reads only cells below the
-            # cursor; measured on v5e at 3B/b8 it wins at S>=1024 (+9%) but
-            # loses at S=512 (block-loop overhead > the saved reads), so
-            # auto-on only for capacities where the cache read dominates
-            paged_decode = (jax.default_backend() == "tpu"
-                            and cache_capacity >= 1024)
+            # the measured capacity/model-size gate shared with the batch
+            # decoders (eval/decode.py::paged_decode_auto): the block loop
+            # only pays where the cache read dominates the step
+            from moka_tpu.eval.decode import paged_decode_auto
+            paged_decode = paged_decode_auto(cfg, cache_capacity)
         self.paged_decode = paged_decode
         # >1 = scan k decode steps per dispatch (amortizes the per-dispatch
         # host sync; new requests wait up to k steps for admission)
@@ -381,17 +380,33 @@ class DecodeEngine:
             if not self._fits(req):
                 continue
             Lp = req.embeds.shape[1]
-            # group consecutive requests sharing the prompt bucket AND
-            # modality kind into ONE batched prefill (n dispatches -> 1);
-            # multimodal groups concatenate their mask bundles batch-wise
+            # scan the whole pending deque for requests sharing the prompt
+            # bucket AND modality kind (multimodal: also the mask-bundle
+            # shape, so _concat_masks cannot mismatch) and batch them into
+            # ONE prefill (n dispatches -> 1).  Non-matching requests keep
+            # their relative order; the head request is always admitted
+            # first, so nothing starves.
             group = [req]
             is_mm = req.masks is not None
-            while (len(group) < len(free) and self.pending
-                   and (self.pending[0].masks is not None) == is_mm
-                   and self.pending[0].embeds.shape[1] == Lp):
+
+            def _matches(cand: _Request) -> bool:
+                if cand.embeds.shape[1] != Lp:
+                    return False
+                if (cand.masks is not None) != is_mm:
+                    return False
+                if is_mm and (cand.masks.modality.shape
+                              != req.masks.modality.shape):
+                    return False
+                return True
+
+            skipped = []
+            while self.pending and len(group) < len(free):
                 nxt = self.pending.popleft()
-                if self._fits(nxt):
+                if not _matches(nxt):
+                    skipped.append(nxt)
+                elif self._fits(nxt):
                     group.append(nxt)
+            self.pending.extendleft(reversed(skipped))
             self._dispatch_no += 1
             toks, ks, vs = _prefill(
                 self.base, self.adapters, cfg=self.cfg, spec=self.spec,
@@ -441,6 +456,20 @@ class DecodeEngine:
 
     def _decode_step(self):
         k = self.steps_per_dispatch
+        if k > 1:
+            # cap the scan at the relevant retirement horizon: with requests
+            # queued, the SOONEST lane retirement (early re-admission — the
+            # freed lane refills next loop instead of idling out the scan);
+            # otherwise the LATEST (steps past every lane's budget are pure
+            # waste).  Rounded up to a power of two to bound the set of
+            # compiled _step_multi executables at log2(steps_per_dispatch).
+            budgets = [self.budget[i]
+                       for i, r in enumerate(self.slot_req) if r is not None]
+            horizon = min(budgets) if self.pending else max(budgets)
+            cap = 1
+            while cap < max(1, horizon):
+                cap *= 2
+            k = min(k, cap)
         if self.cur > self.S - k:
             self.gk, self.gv, self.amask, new_cur = _compact(
                 self.gk, self.gv, self.amask)

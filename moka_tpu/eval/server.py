@@ -171,19 +171,32 @@ class _EngineFront:
         try:
             embeds, prompt_mask, masks = self.prep_fn(item)
             fut = self.engine.submit(embeds, prompt_mask, masks,
-                                     **self._gen_kwargs(item))
+                                     **self._gen_kwargs(item, prompt_mask))
         except Exception as e:
             out.put(f"ERROR: {type(e).__name__}: {e}")
             return out
         threading.Thread(target=_wait, args=(fut,), daemon=True).start()
         return out
 
-    def _gen_kwargs(self, item) -> dict:
+    def _gen_kwargs(self, item, prompt_mask) -> dict:
         """Per-request generation knobs from the HTTP body (sampling off by
-        default: temperature 0 = greedy, like HF do_sample=False)."""
+        default: temperature 0 = greedy, like HF do_sample=False).
+
+        ``max_new_tokens`` is clamped so prompt + generation fits the
+        engine's cache capacity (otherwise the engine would reject the
+        request with an empty token array and the client would silently get
+        ""); a prompt that does not fit at all raises, which surfaces as an
+        error response instead of empty output."""
+        import numpy as np
+        n_prompt = int(np.asarray(prompt_mask).sum())
+        fit = self.engine.S - n_prompt
+        if fit <= 0:
+            raise ValueError(
+                f"prompt ({n_prompt} tokens) does not fit the engine cache "
+                f"capacity ({self.engine.S})")
         return {
-            "max_new_tokens": int(item.get("max_new_tokens",
-                                           self.max_new_tokens)),
+            "max_new_tokens": min(int(item.get("max_new_tokens",
+                                               self.max_new_tokens)), fit),
             "temperature": float(item.get("temperature", 0.0)),
             "top_k": int(item.get("top_k", 0)),
             "top_p": float(item.get("top_p", 1.0)),
@@ -195,8 +208,8 @@ class _EngineFront:
         stream: queue.Queue = queue.Queue()
         out: queue.Queue = queue.Queue(maxsize=1)
         embeds, prompt_mask, masks = self.prep_fn(item)
-        fut = self.engine.submit(embeds, prompt_mask, masks,
-                                 stream=stream, **self._gen_kwargs(item))
+        fut = self.engine.submit(embeds, prompt_mask, masks, stream=stream,
+                                 **self._gen_kwargs(item, prompt_mask))
 
         def _wait():
             toks = fut.get()

@@ -215,7 +215,10 @@ def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
     """Multimodal generation (replaces UnifiedForCausalLM.generate + the
     forked GenerationMixin).  Greedy by default (the reference's eval
     drivers all run ``do_sample=False``); a nonzero ``temperature`` samples
-    with the optional top-k / top-p warpers (``eval/sampling.py``)."""
+    with the optional top-k / top-p warpers (``eval/sampling.py``).
+    ``temperature``/``top_k``/``top_p`` may be scalars or per-row (b,)
+    arrays (rows with temperature 0 decode greedily)."""
+    import numpy as np
     from moka_tpu.eval.decode import greedy_generate, sample_generate
     embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
     masks = llama.MaskBundle(batch["modality_masks"], batch["question_mask"])
@@ -223,7 +226,7 @@ def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
                   prompt_mask=batch["attn_mask"], masks=masks,
                   max_new_tokens=max_new_tokens, eos_id=eos_id,
                   pad_id=pad_id)
-    if temperature > 0:
+    if np.any(np.asarray(temperature) > 0):
         return sample_generate(
             frozen["llama"], trainable.get("adapters"), rng=rng,
             temperature=temperature, top_k=top_k, top_p=top_p, **common)

@@ -146,9 +146,9 @@ def test_engine_multi_step_dispatch(model):
 
 
 def test_engine_mixed_bucket_admission(model):
-    """Batched admission groups only consecutive same-bucket requests;
-    alternating buckets (and an unfittable request in the middle) still
-    produce per-request reference outputs."""
+    """Batched admission groups same-bucket requests; alternating buckets
+    (and an unfittable request in the middle) still produce per-request
+    reference outputs."""
     base, adapters = model
     prompts = _prompts(seed=6, n=6)
     max_new = 8
@@ -366,3 +366,49 @@ def test_engine_http_serving(model):
         server.shutdown()
         eng.stop()
     assert outs == ref_txt, (outs, ref_txt)
+
+
+def test_engine_admission_scans_deque(model):
+    """Admission batches same-bucket requests from ANYWHERE in the pending
+    deque (not just consecutive head): alternating buckets admit in two
+    grouped prefills instead of four singles, outputs unchanged."""
+    base, adapters = model
+    prompts = _prompts(seed=11, n=4)
+    max_new = 6
+    ref = _reference_outputs(model, prompts, max_new)
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=4,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32)
+    futs = [_submit(eng, base, p, max_new,
+                    bucket=16 if i % 2 == 0 else 24)
+            for i, p in enumerate(prompts)]
+    eng._admit()
+    # _dispatch_no counts prefill dispatches here: 2 groups, not 4 singles
+    assert eng._dispatch_no == 2, eng._dispatch_no
+    assert all(r is not None for r in eng.slot_req)
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+
+
+def test_engine_early_readmission(model):
+    """With requests queued and steps_per_dispatch large, the scan is
+    capped at the soonest lane retirement so the freed lane refills next
+    dispatch instead of idling out the scan (cur advances by the capped k,
+    not the full 16)."""
+    base, adapters = model
+    prompts = _prompts(seed=12, n=2)
+    max_new = 2
+    ref = _reference_outputs(model, prompts, max_new)
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=1,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32, steps_per_dispatch=16)
+    futs = [_submit(eng, base, p, max_new, bucket=16) for p in prompts]
+    eng.run_until_drained()
+    got = [_strip(f.get(timeout=1)) for f in futs]
+    assert got == ref, (got, ref)
+    # prompt bucket 16 + two capped dispatches of <=2 steps each lane;
+    # uncapped scans would advance cur to 16 + 16*2 = 48
+    assert eng.cur <= 16 + 4 * 2, eng.cur
