@@ -152,40 +152,81 @@ def encode_modalities(trainable: dict, frozen: dict, cfg: UnifiedConfig,
     return video_tokens, audio_tokens
 
 
+def _constrain_batch(x, mesh, batch_axes):
+    """with_sharding_constraint to P(batch_axes, None, ...) — batch-sharded,
+    feature axes replicated.  No-op when mesh is None (single device /
+    caller manages shardings)."""
+    if mesh is None or x is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = P(batch_axes, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 def build_inputs_embeds(trainable: dict, frozen: dict, cfg: UnifiedConfig,
-                        batch: dict) -> Array:
-    """Token embeds + feature splice (device-side half of the assembler)."""
-    embeds = jnp.take(frozen["llama"]["embed"], batch["ids"], axis=0)
+                        batch: dict, mesh=None,
+                        batch_axes=("data", "fsdp")) -> Array:
+    """Token embeds + feature splice (device-side half of the assembler).
+
+    ``mesh``: when given, the projector outputs and the spliced embeds are
+    constrained to batch-sharded/feature-replicated placement.  Without the
+    constraint GSPMD infers a d-sharded layout for the projector dot but a
+    batch-sharded one for the embed gather, and the splice scatter's JVP
+    select falls back to "involuntary full rematerialization"
+    (replicate-then-reshard) every step."""
+    table = frozen["llama"]["embed"]
+    ids = batch["ids"]
+    if mesh is not None:
+        # The FSDP rule feature-shards the table (P(None,'fsdp')); a gather
+        # from it is feature-sharded, and GSPMD cannot reshard that to the
+        # batch-sharded layout the decoder wants without an involuntary full
+        # rematerialization.  Replicating the table first (an all-gather on
+        # an existing dim — cheap next to the per-layer FSDP gathers) and
+        # batch-sharding the ids makes the gather partition trivially.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        table = jax.lax.with_sharding_constraint(
+            table, NamedSharding(mesh, P(None, None)))
+        ids = jax.lax.with_sharding_constraint(
+            ids, NamedSharding(mesh, P(batch_axes, None)))
+    embeds = jnp.take(table, ids, axis=0)
     if "new_token_embeds" in trainable:
         # overlay the trainable rows for the appended special tokens
         new = trainable["new_token_embeds"]
         base = cfg.llama.vocab_size - new.shape[0]
-        idx = jnp.clip(batch["ids"] - base, 0, new.shape[0] - 1)
+        idx = jnp.clip(ids - base, 0, new.shape[0] - 1)
         overlay = jnp.take(new, idx, axis=0).astype(embeds.dtype)
-        embeds = jnp.where((batch["ids"] >= base)[..., None], overlay,
-                           embeds)
+        embeds = jnp.where((ids >= base)[..., None], overlay, embeds)
     video_tokens, audio_tokens = encode_modalities(
         trainable, frozen, cfg, batch.get("video"), batch.get("audio"),
         question_ids=batch.get("qformer_question_ids"),
         question_text_mask=batch.get("qformer_question_mask"))
-    return splice_features(embeds,
-                           video_features=video_tokens,
-                           video_pos=batch.get("video_pos"),
-                           audio_features=audio_tokens,
-                           audio_pos=batch.get("audio_pos"))
+    embeds = _constrain_batch(embeds, mesh, batch_axes)
+    video_tokens = _constrain_batch(video_tokens, mesh, batch_axes)
+    audio_tokens = _constrain_batch(audio_tokens, mesh, batch_axes)
+    spliced = splice_features(embeds,
+                              video_features=video_tokens,
+                              video_pos=batch.get("video_pos"),
+                              audio_features=audio_tokens,
+                              audio_pos=batch.get("audio_pos"))
+    return _constrain_batch(spliced, mesh, batch_axes)
 
 
 def unified_loss(cfg: UnifiedConfig, remat: bool = True,
                  train_adapters: bool = True, use_flash: bool = False,
                  fused_loss: bool = False,
-                 remat_policy: str | None = None):
+                 remat_policy: str | None = None,
+                 mesh=None, batch_axes=("data", "fsdp")):
     """Loss closure for the generic train step.  ``train_adapters=False`` =
     stage-1 pretraining (plain-linear twin: no adapter deltas at all,
     ``modeling_llama_post_pretrian.py``).  ``remat_policy``: see
-    ``llama._remat_policy`` ('qkvod' is the tuned 7B single-chip recipe)."""
+    ``llama._remat_policy`` ('qkvod' is the tuned 7B single-chip recipe).
+    ``mesh``: pass the training mesh so the encoder→splice boundary gets
+    batch-sharded constraints (reshard-clean multichip step — see
+    ``build_inputs_embeds``)."""
 
     def loss_fn(trainable, frozen, batch, rng):
-        embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
+        embeds = build_inputs_embeds(trainable, frozen, cfg, batch,
+                                     mesh=mesh, batch_axes=batch_axes)
         masks = llama.MaskBundle(batch["modality_masks"],
                                  batch["question_mask"])
         adapters = trainable.get("adapters") if train_adapters else None

@@ -126,6 +126,99 @@ def test_tp_mesh_train_step(axes):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_multimodal_step_reshard_clean():
+    """VERDICT r2 item 3: the full multimodal train step compiles on a
+    (2,2,2) mesh with NO "[SPMD] Involuntary full rematerialization"
+    warnings.  Without the batch-sharded constraints at the encoder->splice
+    boundary (``unified.build_inputs_embeds(mesh=...)``) GSPMD infers a
+    feature-sharded layout for the projector outputs / embed gather and
+    falls back to replicate-then-reshard on (b,L,d)-scale tensors inside
+    ``jit(step)`` every step."""
+    import contextlib
+    import os
+    import tempfile
+
+    from moka_tpu.core.config import MeshConfig, TrainConfig
+    from moka_tpu.data import assembler as asm
+    from moka_tpu.models import unified
+    from moka_tpu.parallel.mesh import batch_sharding, make_mesh
+    from moka_tpu.parallel.sharding import shard_params
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+    from jax.sharding import NamedSharding
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, model=2),
+                     devices=devices[:8])
+    ucfg = unified.UnifiedConfig.tiny()
+    r1, r2 = jax.random.split(jax.random.key(0))
+    frozen = shard_params(mesh, unified.init_frozen(r1, ucfg,
+                                                    dtype=jnp.float32))
+    trainable = unified.init_trainable(r2, ucfg)
+
+    b = 8
+    t2i = {t: 200 + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    nv = 2 * ucfg.vl_projector.num_query_tokens
+    na = 2 * ucfg.al_projector.num_query_tokens
+    rng = np.random.default_rng(3)
+    samples = []
+    for i in range(b):
+        ids = (rng.integers(4, 200, 3 + i % 3).tolist()
+               + [t2i["<video_start>"], t2i["<video>"], t2i["<video_end>"]]
+               + [t2i["<audio_start>"], t2i["<audio>"], t2i["<audio_end>"]]
+               + [t2i["<question_start>"]]
+               + rng.integers(4, 200, 4).tolist()
+               + [t2i["<question_end>"]]
+               + rng.integers(4, 200, 3).tolist())
+        lab = [-100] * (len(ids) - 3) + ids[-3:]
+        samples.append(asm.assemble_sample(
+            np.asarray(ids), np.asarray(lab), t2i, pad_id=0,
+            n_video_tokens=nv, n_audio_tokens=na))
+    batch = asm.pad_batch(samples, pad_id=0, pad_to=40)
+    img = ucfg.clip.image_size
+    batch["video"] = rng.standard_normal((b, 2, 3, img, img)).astype(
+        np.float32)
+    batch["audio"] = rng.standard_normal((b, 2, 32, 128)).astype(np.float32)
+    bsh = batch_sharding(mesh)
+    sharded = {}
+    for k, v in batch.items():
+        arr = jnp.asarray(v)
+        sh = bsh if arr.ndim and arr.shape[0] == b else \
+            NamedSharding(mesh, P(None, ("data", "fsdp")))
+        sharded[k] = jax.device_put(arr, sh)
+
+    tcfg = TrainConfig(learning_rate=1e-3, warmup_ratio=0.0)
+    tx = make_optimizer(tcfg, total_steps=4)
+    state = jax.device_put(init_train_state(trainable, tx,
+                                            jax.random.key(1)),
+                           NamedSharding(mesh, P()))
+    step = make_train_step(unified.unified_loss(ucfg, remat=True, mesh=mesh),
+                           tx, donate=False)
+
+    # XLA's SPMD partitioner logs the warning from C++ directly to fd 2;
+    # capture it at the fd level around the first (compiling) call.
+    @contextlib.contextmanager
+    def _capture_stderr_fd():
+        saved = os.dup(2)
+        with tempfile.TemporaryFile(mode="w+b") as tmp:
+            os.dup2(tmp.fileno(), 2)
+            try:
+                yield tmp
+            finally:
+                os.dup2(saved, 2)
+                os.close(saved)
+
+    with _capture_stderr_fd() as tmp:
+        state, metrics = step(state, frozen, sharded)
+        loss = float(metrics["loss"])  # block inside the capture
+        tmp.seek(0)
+        err = tmp.read().decode(errors="replace")
+    assert np.isfinite(loss), loss
+    assert "Involuntary full rematerialization" not in err, err[-2000:]
+
+
 def test_host_offload_shardings():
     """shard_params(host_offload=True) places leaves in pinned_host memory
     (ZeRO-3 parameter-offload analog for 100B-class bases)."""
