@@ -145,6 +145,163 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     }
 
 
+def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
+                   remat_policy=None, n_video_groups=10, n_audio_groups=10,
+                   audio_frames=192, rng_impl="rbg"):
+    """FULL multimodal fine-tune step at flagship scale: CLIP ViT-L/14 on
+    ``n_video_groups`` frames + BEATs on ``n_audio_groups`` fbank segments
+    (both frozen, forward every step), two trainable Q-Former projectors
+    (fwd+bwd), the feature splice, and the MokA-LLaMA step — the cost the
+    reference recipe actually pays per step (``ft_musicavqa.sh:24-75`` →
+    ``unified_arch.py:103-348``; hot loops SURVEY §3.1).  The text-only
+    flagship bench excludes the encoder/projector cost; this one doesn't.
+
+    Token budget mirrors the recipe: 10 frames x 32 query tokens + 10 audio
+    segments x 32 = 640 multimodal tokens, the rest text, padded to the
+    static ``seqlen``."""
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.data import assembler as asm
+    from moka_tpu.models import llama as llama_mod
+    from moka_tpu.models import unified
+    from moka_tpu.models.beats import init_beats_params
+    from moka_tpu.models.clip_vit import init_clip_params
+    from moka_tpu.ops.quant import init_llama_params_quantized
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+    frozen = {
+        "llama": init_llama_params_quantized(k1, ucfg.llama, bits=quantize)
+        if quantize else
+        llama_mod.init_llama_params(k1, ucfg.llama, dtype=jnp.bfloat16),
+        "clip": init_clip_params(k2, ucfg.clip, dtype=jnp.bfloat16),
+        "beats": init_beats_params(k3, ucfg.beats, dtype=jnp.bfloat16),
+    }
+    trainable = unified.init_trainable(k4, ucfg)
+
+    b, L = batch, seqlen
+    nq_v = ucfg.vl_projector.num_query_tokens
+    nq_a = ucfg.al_projector.num_query_tokens
+    nv, na = n_video_groups * nq_v, n_audio_groups * nq_a
+    base = ucfg.llama.vocab_size - len(asm.SPECIAL_TOKENS)
+    t2i = {t: base + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(b):
+        prefix = rng.integers(4, base, 16 + i).tolist()
+        q_toks = rng.integers(4, base, 16).tolist()
+        n_ans = max(
+            1, L - (len(prefix) + 3 + nv + 3 + na + 2 + len(q_toks)) - 8 - i)
+        answer = rng.integers(4, base, n_ans).tolist()
+        ids = (prefix
+               + [t2i["<video_start>"], t2i["<video>"], t2i["<video_end>"]]
+               + [t2i["<audio_start>"], t2i["<audio>"], t2i["<audio_end>"]]
+               + [t2i["<question_start>"]] + q_toks
+               + [t2i["<question_end>"]] + answer)
+        lab = [-100] * (len(ids) - len(answer)) + answer
+        samples.append(asm.assemble_sample(
+            np.asarray(ids), np.asarray(lab), t2i, pad_id=0,
+            n_video_tokens=nv, n_audio_tokens=na))
+    batch_d = asm.pad_batch(samples, pad_id=0, pad_to=L)
+    img = ucfg.clip.image_size
+    batch_d["video"] = rng.standard_normal(
+        (b, n_video_groups, 3, img, img)).astype(np.float32)
+    batch_d["audio"] = rng.standard_normal(
+        (b, n_audio_groups, audio_frames, 128)).astype(np.float32)
+    batch_d = {k: jnp.asarray(v) for k, v in batch_d.items()}
+
+    loss_fn = unified.unified_loss(ucfg, remat=True, use_flash=True,
+                                   fused_loss=True,
+                                   remat_policy=remat_policy)
+    tx = make_optimizer(TrainConfig(), total_steps=1000)
+    key = jax.random.key(0) if rng_impl is None else \
+        jax.random.key(0, impl=rng_impl)
+    state = init_train_state(trainable, tx, key)
+    step = make_train_step(loss_fn, tx, donate=True)
+
+    for _ in range(3):
+        state, m = step(state, frozen, batch_d)
+    jax.block_until_ready(m["loss"])
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            state, m = step(state, frozen, batch_d)
+        jax.block_until_ready(m["loss"])
+        windows.append((time.perf_counter() - t0) / 4)
+    dt = min(windows)
+
+    def _count(tree, quantized=False):
+        if quantized:
+            return sum(int(np.prod(x.shape)) * (2 if x.dtype == np.uint8
+                                                else 1)
+                       for x in jax.tree.leaves(tree)
+                       if x.ndim >= 2 and "float32" not in str(x.dtype))
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    p_llama = _count(frozen["llama"], quantized=bool(quantize))
+    p_clip = _count(frozen["clip"])
+    p_beats = _count(frozen["beats"])
+    p_proj = _count({k: v for k, v in trainable.items()
+                     if k.endswith("projector")})
+    # per-step flops: adapter-training LLaMA (6P: 2P fwd + 2P remat +
+    # 2P dX bwd), frozen encoders forward-only (2P), projectors fwd+bwd (6P)
+    clip_tokens = b * n_video_groups * (ucfg.clip.n_patches + 1)
+    beats_tokens = b * n_audio_groups * \
+        (audio_frames // ucfg.beats.input_patch_size) * \
+        (128 // ucfg.beats.input_patch_size)
+    proj_tokens = (b * n_video_groups * (nq_v + ucfg.clip.n_patches)
+                   + b * n_audio_groups * (nq_a + beats_tokens
+                                           // (b * n_audio_groups)))
+    step_flops = (6 * p_llama * b * L + 2 * p_clip * clip_tokens
+                  + 2 * p_beats * beats_tokens + 6 * p_proj * proj_tokens)
+    tokens_per_sec = b * L / dt
+    return {
+        "config": cfg_name,
+        "scope": "full multimodal step: CLIP+BEATs fwd, Q-Former projectors "
+                 "fwd+bwd, splice, MokA-LLaMA fwd+bwd",
+        "params_llama": p_llama, "params_clip": p_clip,
+        "params_beats": p_beats, "params_projectors": p_proj,
+        "batch": b, "seqlen": L,
+        "n_video_frames": n_video_groups, "n_audio_segments": n_audio_groups,
+        "multimodal_tokens": nv + na,
+        "step_time_s": dt,
+        "tokens_per_sec": tokens_per_sec,
+        "step_flops": step_flops,
+        "model_flops_per_sec": step_flops / dt,
+        "device": str(jax.devices()[0]),
+        "quantized_base": quantize, "remat_policy": remat_policy,
+        "rng_impl": rng_impl,
+    }
+
+
+def _mm_candidates():
+    """Flagship-scale full-multimodal configs, ordered by fit likelihood.
+    The AVT stack (CLIP-L/14 + BEATs + dual Q-Formers) adds ~0.9 GB bf16 of
+    frozen encoder weights + projector optimizer state over the text-only
+    flagship, so the save-heaviest policy that fits may be one notch below
+    the text-only one."""
+    from moka_tpu.models.unified import UnifiedConfig
+    cfg7b = UnifiedConfig.avt_7b()
+    import dataclasses as _dc
+    cfg7b = _dc.replace(cfg7b, spec=cfg7b.spec.with_bf16_dots())
+    return {
+        "avt_7b_int4": (cfg7b, 4, 1024, 4, "proj_nokv_lse"),
+        "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse"),
+        "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse"),
+        "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None),
+    }
+
+
+def run_one_mm(name: str) -> None:
+    ucfg, b, L, quant, pol = _mm_candidates()[name]
+    print(json.dumps(run_multimodal(name, ucfg, b, L, quant,
+                                    remat_policy=pol)))
+
+
 def _candidates():
     # Ordered by likelihood of fitting one v5e chip (16 GB): the 7B-int8
     # flagship runs with the round-2 tuned recipe (qkvod remat policy =
@@ -210,14 +367,47 @@ def main():
         "value": round(result["tokens_per_sec"], 2),
         "unit": "tokens/s",
         "vs_baseline": round(result["tokens_per_sec"] / a100_tps, 3),
+        "scope": "text-only MokA-LLaMA step (no encoders/projectors)",
         "detail": result,
         "baseline_estimate_tokens_per_sec_a100": round(a100_tps, 1),
     }
+
+    # FULL multimodal step (what the reference recipe pays per step):
+    # reported alongside, never instead of, the text-only number.
+    mm = None
+    for name in _mm_candidates():
+        proc = subprocess.run(
+            [sys.executable, __file__, "--run-one-mm", name],
+            capture_output=True, text=True, timeout=2400)
+        if proc.returncode == 0 and proc.stdout.strip():
+            try:
+                mm = json.loads(proc.stdout.strip().splitlines()[-1])
+                break
+            except json.JSONDecodeError:
+                pass
+        print(f"# bench mm config {name} failed: "
+              f"{proc.stderr.strip().splitlines()[-1][:200] if proc.stderr else '?'}",
+              file=sys.stderr)
+    if mm is not None:
+        # A100 baseline pays the same encoders: scale peak*MFU by the
+        # effective per-token flops of the full step.
+        eff_flops_per_token = mm["step_flops"] / (mm["batch"] * mm["seqlen"])
+        a100_mm = (A100_PEAK_FLOPS * A100_ASSUMED_MFU) / eff_flops_per_token
+        out["multimodal"] = {
+            "metric": "finetune_multimodal_tokens_per_sec_per_chip",
+            "value": round(mm["tokens_per_sec"], 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(mm["tokens_per_sec"] / a100_mm, 3),
+            "detail": mm,
+            "baseline_estimate_tokens_per_sec_a100": round(a100_mm, 1),
+        }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--run-one":
         run_one(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--run-one-mm":
+        run_one_mm(sys.argv[2])
     else:
         main()

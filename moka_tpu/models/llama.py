@@ -218,10 +218,15 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
         # context parallelism: sequence sharded over a mesh axis, k/v
         # rotated around the ICI ring (the modality masks and the MokA
         # rank attention stay under GSPMD auto-sharding — the (b, L, r)
-        # question keys are tiny and all-gather for free)
-        from moka_tpu.parallel.ring_attention import make_ring_attention
+        # question keys are tiny and all-gather for free).  With use_flash
+        # each visited shard runs through the Pallas flash kernel, so no
+        # per-shard (Lq, Lk) dense score tensor exists — at the long
+        # contexts CP exists for, the dense block is the local memory bound.
+        from moka_tpu.parallel.ring_attention import (
+            make_ring_attention, make_ring_flash_attention)
         cp_mesh, cp_axis = context_parallel
-        ring = make_ring_attention(cp_mesh, cp_axis)
+        ring = (make_ring_flash_attention if use_flash
+                else make_ring_attention)(cp_mesh, cp_axis)
         attn = ring(q, k_all.astype(q.dtype), v_all.astype(q.dtype),
                     attn_mask)
     elif use_flash:

@@ -260,18 +260,19 @@ def _flash_vjp_fwd(q, k, v, attn_mask, q_offset, causal, scale, block_q,
     return out, (q, k, v, attn_mask, q_offset, out, lse)
 
 
-def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
-    q, k, v, attn_mask, q_offset, out, lse = res
+def _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
+                  scale, block_q, block_k, interpret):
+    """dq of flash attention given the GLOBAL-row lse/delta.  Because the
+    backward only needs the final lse and delta = sum(dout*out), it
+    decomposes exactly over k/v shards — the ring-attention backward calls
+    this per visited shard (``parallel/ring_attention.py``).
+    q (B,H,L,hd), k/v (B,KH,S,hd), lse/delta (B,H,L) -> dq (B,H,L,hd)."""
     B, H, L, hd = q.shape
     KH, S = k.shape[1], k.shape[2]
     G = H // KH
     bq, bk = min(block_q, L), min(block_k, S)
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-
-    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
-                    axis=-1)  # (B, H, L)
-
     q_r = q.reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
@@ -280,7 +281,6 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
     delta_r = delta.reshape(B * H, 1, L)
     mask_i = attn_mask.astype(jnp.int32)[:, None, :]
 
-    # ---- dq: grid (BH, nq, nk), accumulate over k blocks
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
                           block_q=bq, block_k=bk, kv_len=S),
@@ -302,9 +302,30 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
+    return dq.reshape(B, H, L, hd)
 
-    # ---- dk/dv: grid (BH, nk, nq), accumulate over q blocks; per-head
-    # results summed over the GQA group afterwards.
+
+def _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
+                   scale, block_q, block_k, interpret):
+    """dk/dv of flash attention given the GLOBAL-row lse/delta; same
+    shard-decomposition property as ``_flash_bwd_dq``.  Returns fp32
+    (B,KH,S,hd) pairs, GQA-group-summed."""
+    B, H, L, hd = q.shape
+    KH, S = k.shape[1], k.shape[2]
+    G = H // KH
+    bq, bk = min(block_q, L), min(block_k, S)
+    nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q_r = q.reshape(B * H, L, hd)
+    k_r = k.reshape(B * KH, S, hd)
+    v_r = v.reshape(B * KH, S, hd)
+    do_r = dout.reshape(B * H, L, hd)
+    lse_r = lse.reshape(B * H, 1, L)
+    delta_r = delta.reshape(B * H, 1, L)
+    mask_i = attn_mask.astype(jnp.int32)[:, None, :]
+
+    # grid (BH, nk, nq), accumulate over q blocks; per-head results summed
+    # over the GQA group afterwards.
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
                           block_q=bq, block_k=bk, kv_len=S),
@@ -334,9 +355,20 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
         interpret=interpret,
     )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
 
-    dk = dk.reshape(B, KH, G, S, hd).sum(axis=2).astype(k.dtype)
-    dv = dv.reshape(B, KH, G, S, hd).sum(axis=2).astype(v.dtype)
-    return dq.reshape(B, H, L, hd), dk, dv, None, None
+    dk = dk.reshape(B, KH, G, S, hd).sum(axis=2)
+    dv = dv.reshape(B, KH, G, S, hd).sum(axis=2)
+    return dk, dv
+
+
+def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
+    q, k, v, attn_mask, q_offset, out, lse = res
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (B, H, L)
+    dq = _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset,
+                       causal, scale, block_q, block_k, interpret)
+    dk, dv = _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset,
+                            causal, scale, block_q, block_k, interpret)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -1,0 +1,53 @@
+"""Quality anchor for the int8/int4 frozen base (VERDICT r2 item 2).
+
+The flagship bench rides on a quantized frozen base while the reference
+trains against bf16 (``ft_musicavqa.sh:41``).  This pins the claim that the
+storage format of the frozen weights does not change training dynamics:
+same seed, same data stream, same adapter init, only bf16 vs int8 vs int4
+base — the loss curves must track each other inside a stated band.  The
+on-chip 1B-scale version of the same study is in PERFORMANCE.md
+(``exp_quant_quality.py --scale 1b``).
+"""
+
+import numpy as np
+import pytest
+
+from exp_quant_quality import run_variant
+
+STEPS = 100
+
+
+@pytest.fixture(scope="module")
+def runs():
+    return {v: run_variant(v, "tiny", steps=STEPS)
+            for v in ("bf16", "int8", "int4")}
+
+
+def test_training_actually_learns(runs):
+    r = runs["bf16"]
+    first = r["train_curve"][0][1]
+    assert first - r["final_train_loss"] > 0.15, r["train_curve"]
+
+
+def test_int8_within_band_of_bf16(runs):
+    ref, q = runs["bf16"], runs["int8"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.01, (q["heldout_loss"], ref["heldout_loss"])
+    # the whole curve tracks, not just the endpoint
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.01, (i, a, b)
+
+
+def test_int4_within_band_of_bf16(runs):
+    ref, q = runs["bf16"], runs["int4"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.02, (i, a, b)
+
+
+def test_quantized_forward_is_actually_different(runs):
+    """Guard against the study silently comparing identical computations:
+    the quantized base must produce a (small but) nonzero loss difference."""
+    assert runs["bf16"]["train_curve"][0][1] != \
+        runs["int4"]["train_curve"][0][1]

@@ -56,10 +56,54 @@ def test_ring_grads_match():
                                    atol=3e-4)
 
 
-def test_context_parallel_decoder_forward_and_grads():
+def test_flash_ring_matches_dense_ring_forward():
+    """VERDICT r2 item 7: the flash ring (Pallas kernel per visited shard,
+    no (Lq,Lk) dense score tensor) matches the dense jnp ring."""
+    from moka_tpu.parallel.ring_attention import make_ring_flash_attention
+    mesh = _mesh(4)
+    q, k, v, mask = _data()
+    dense = make_ring_attention(mesh, "seq")
+    flash = make_ring_flash_attention(mesh, "seq", interpret=True)
+    got = jax.jit(flash)(q, k, v, mask)
+    want = jax.jit(dense)(q, k, v, mask)
+    valid = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(got) * valid,
+                               np.asarray(want) * valid, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_flash_ring_grads_match_full():
+    """Flash-ring backward (ring of flash dq/dkv kernels with global
+    lse/delta) == dense full-attention grads."""
+    from moka_tpu.parallel.ring_attention import make_ring_flash_attention
+    mesh = _mesh(8)
+    q, k, v, mask = _data(L=40, seed=1)  # ragged: 40/8 = 5 rows per shard
+    ring = make_ring_flash_attention(mesh, "seq", interpret=True)
+    vq = mask.astype(jnp.float32)[:, :, None, None]
+
+    def loss_ring(q, k, v):
+        return jnp.sum((ring(q, k, v, mask) * vq) ** 2)
+
+    def loss_full(q, k, v):
+        o = mha(q, k, v, causal_bias(mask, q.shape[1], k.shape[1]))
+        return jnp.sum((o * vq) ** 2)
+
+    g_r = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    g_f = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
+                                   atol=3e-4)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("use_flash", [False, True])
+def test_context_parallel_decoder_forward_and_grads(use_flash):
     """Ring attention INSIDE llama.forward (context_parallel=(mesh,'seq')):
     logits and adapter grads match the dense single-device path, with
-    modality masks and remat composing (VERDICT r1 item 5)."""
+    modality masks and remat composing (VERDICT r1 item 5).  use_flash=True
+    exercises the flash ring (VERDICT r2 item 7)."""
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from moka_tpu.core.config import LlamaConfig
@@ -97,6 +141,7 @@ def test_context_parallel_decoder_forward_and_grads():
 
     dense_loss = make_llama_moka_loss(cfg, spec, remat=True)
     cp_loss = make_llama_moka_loss(cfg, spec, remat=True,
+                                   use_flash=use_flash,
                                    context_parallel=(mesh, "seq"))
 
     (want_l, _), want_g = jax.value_and_grad(dense_loss, has_aux=True)(
