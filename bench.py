@@ -224,13 +224,17 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
 
     for _ in range(3):
         state, m = step(state, frozen, batch_d)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     windows = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(4):
             state, m = step(state, frozen, batch_d)
-        jax.block_until_ready(m["loss"])
+        # sync via device_get of the loss: on the tunneled chip
+        # block_until_ready (even on the full output tree) returned before
+        # the steps executed (1.7 ms "steps" vs the 1.4 s a synchronous
+        # probe measures); fetching the scalar genuinely waits
+        float(m["loss"])
         windows.append((time.perf_counter() - t0) / 4)
     dt = min(windows)
 
@@ -259,6 +263,10 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
     step_flops = (6 * p_llama * b * L + 2 * p_clip * clip_tokens
                   + 2 * p_beats * beats_tokens + 6 * p_proj * proj_tokens)
     tokens_per_sec = b * L / dt
+    # physical-sanity guard: a v5e peaks at ~197 bf16 TFLOPs; a "measured"
+    # rate beyond 2x peak means the timing harness failed to synchronize
+    assert step_flops / dt < 4e14, (
+        f"impossible rate {step_flops / dt:.3g} FLOP/s — timing desync")
     return {
         "config": cfg_name,
         "scope": "full multimodal step: CLIP+BEATs fwd, Q-Former projectors "
@@ -269,6 +277,7 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         "n_video_frames": n_video_groups, "n_audio_segments": n_audio_groups,
         "multimodal_tokens": nv + na,
         "step_time_s": dt,
+        "window_step_times_s": [round(w, 4) for w in windows],
         "tokens_per_sec": tokens_per_sec,
         "step_flops": step_flops,
         "model_flops_per_sec": step_flops / dt,

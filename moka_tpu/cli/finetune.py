@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["7b", "13b", "34b", "70b", "tiny"], default="7b",
                    help="LLaMA base size ('tiny' = small random-init model "
                         "for smoke tests)")
+    p.add_argument("--loftq-iters", type=int, default=0, metavar="N",
+                   help="with --quantize-base: LoftQ adapter init (N rounds "
+                        "of quantize-residual SVD, adapters/loftq.py) so "
+                        "the adapters start by correcting the base's "
+                        "quantization error instead of at zero")
     p.add_argument("--host-offload", action="store_true",
                    help="place the (sharded) frozen base in pinned host "
                         "memory (ZeRO-3 param-offload analog for 100B-class "
@@ -124,10 +129,27 @@ def main(argv=None):
             vocab_size=tok.vocab_size)
         cfg = unified.UnifiedConfig.avt(lcfg, spec=spec)
 
+    if args.loftq_iters and not args.quantize_base:
+        raise SystemExit("--loftq-iters requires --quantize-base")
+    loftq_adapters = None
+
+    def _quantize_llama(bf16_tree):
+        """Plain symmetric quantization, or LoftQ (quantize + adapter init
+        correcting the quantization residual) when --loftq-iters is set."""
+        nonlocal loftq_adapters
+        if args.loftq_iters:
+            from moka_tpu.adapters.loftq import loftq_init_moka_adapters
+            qtree, loftq_adapters = loftq_init_moka_adapters(
+                bf16_tree, cfg.llama, spec, num_bits=args.quantize_base,
+                num_iter=args.loftq_iters)
+            return qtree
+        from moka_tpu.ops.quant import quantize_llama_base
+        return quantize_llama_base(bf16_tree, bits=args.quantize_base)
+
     # frozen towers from reference checkpoints (random init if absent —
     # debug/smoke mode)
     if args.llama_ckpt:
-        if args.quantize_base:
+        if args.quantize_base and not args.loftq_iters:
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
                 imp.load_torch(args.llama_ckpt), cfg.llama,
@@ -135,6 +157,8 @@ def main(argv=None):
         else:
             llama_params = imp.import_llama(
                 imp.load_torch(args.llama_ckpt), cfg.llama)
+            if args.quantize_base:
+                llama_params = _quantize_llama(llama_params)
         frozen = {
             "llama": llama_params,
             "clip": imp.import_clip(imp.load_torch(args.clip_ckpt),
@@ -150,9 +174,7 @@ def main(argv=None):
                                      args.model_preset == "tiny" else
                                      jnp.bfloat16)
         if args.quantize_base:
-            from moka_tpu.ops.quant import quantize_llama_base
-            frozen["llama"] = quantize_llama_base(frozen["llama"],
-                                                  bits=args.quantize_base)
+            frozen["llama"] = _quantize_llama(frozen["llama"])
     frozen = shardlib.shard_params(mesh, frozen,
                                    host_offload=args.host_offload)
     if jax.process_index() == 0:
@@ -163,6 +185,8 @@ def main(argv=None):
               f"(quantized={isinstance(q_leaf, dict)})")
 
     trainable = unified.init_trainable(jax.random.key(args.seed), cfg)
+    if loftq_adapters is not None:
+        trainable["adapters"] = loftq_adapters
     for flag, key, kind in ((args.vl_pretrain, "vl_projector", "visual"),
                             (args.al_pretrain, "al_projector", "audio")):
         if flag:

@@ -95,6 +95,33 @@ def test_finetune_cli_tiny_end_to_end(tiny_world):
     assert "overall" in out_scores
 
 
+def test_finetune_cli_loftq_quantized(tiny_world):
+    """--quantize-base 4 --loftq-iters 2: the quantized base trains with
+    LoftQ-initialized adapters (nonzero B at step 0) end to end."""
+    import torch
+    from moka_tpu.cli.finetune import main
+    main([
+        "--tokenizer-json", tiny_world["tokenizer"],
+        "--avqa-annotation", tiny_world["annotation"],
+        "--output-dir", tiny_world["out"],
+        "--model-preset", "tiny",
+        "--global-batch", "2",
+        "--epochs", "1",
+        "--pad-to", "128",
+        "--quantize-base", "4",
+        "--loftq-iters", "2",
+    ])
+    out = tiny_world["out"]
+    metrics = [json.loads(l) for l in
+               open(os.path.join(out, "metrics.jsonl"))]
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    sd = torch.load(os.path.join(out, "adapter_model.bin"),
+                    weights_only=True)
+    b_keys = [k for k in sd if ".lora_B0.weight" in k or "lora_B" in k]
+    assert b_keys and any(float(sd[k].abs().max()) > 0 for k in b_keys), \
+        "LoftQ init must export nonzero B"
+
+
 def test_train_vt_cli_tiny_end_to_end(tmp_path):
     """VT driver smoke: tiny random-init LLaVA, LLaVA-Instruct-style JSON +
     synthetic image -> finite losses + model.safetensors in the reference
