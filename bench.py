@@ -104,19 +104,21 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
     # warmup (compile) + 2 steps
     for _ in range(3):
         state, m = step(state, frozen, batch_d)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     # min over three pipelined 4-step windows (timeit-style): the tunneled
     # chip occasionally degrades for seconds at a time (measured 52 s/step
     # transients on an otherwise 1.2 s/step config); one long mean would
     # report the outage, the best window reports the machine.  Steps inside
-    # a window stay async-dispatched so no per-step RTT is added.
+    # a window stay async-dispatched so no per-step RTT is added.  The sync
+    # is a device_get of the loss — block_until_ready returned early on the
+    # tunneled chip (r3: measured 1.7 ms "steps" vs 1.4 s synchronous).
     windows = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(4):
             state, m = step(state, frozen, batch_d)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         windows.append((time.perf_counter() - t0) / 4)
     dt = min(windows)
 
@@ -298,7 +300,9 @@ def _mm_candidates():
     import dataclasses as _dc
     cfg7b = _dc.replace(cfg7b, spec=cfg7b.spec.with_bf16_dots())
     return {
-        "avt_7b_int4": (cfg7b, 4, 1024, 4, "proj_nokv_lse"),
+        # proj_nokv_lse (the text-only flagship policy) OOMs here by ~1.9 GB
+        # once the encoder weights + projector optimizer state are resident;
+        # qkvod_lse measured 1.386 s/step (2,956 tok/s, ~68% eff. MFU)
         "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse"),
         "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse"),
         "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None),

@@ -1,0 +1,123 @@
+"""Profile the flagship train step on the real chip and print an op-level
+time breakdown (fwd vs bwd attribution by fusion name / source metadata).
+
+Usage:
+    python exp_profile.py [config]          # default llama2_7b_int4
+    python exp_profile.py --parse DIR       # re-parse an existing trace
+
+Writes the jax.profiler trace under /tmp/moka_prof/<config>/ and aggregates
+the Perfetto trace.json.gz device slices by op name.
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+
+def run_and_trace(name: str) -> str:
+    import jax
+    import bench
+
+    cfg, b, L, quant, pol, bf16, rng_impl = bench._candidates()[name]
+    outdir = f"/tmp/moka_prof/{name}"
+    os.makedirs(outdir, exist_ok=True)
+
+    # reuse the bench harness up to the warmup, then trace 3 steps
+    import numpy as np
+    import jax.numpy as jnp
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.train.objectives import make_llama_moka_loss
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    bench._enable_compile_cache()
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
+    if bf16:
+        spec = spec.with_bf16_dots()
+    r1, r2 = jax.random.split(jax.random.key(0))
+    if quant:
+        from moka_tpu.ops.quant import init_llama_params_quantized
+        bits = 8 if quant is True else int(quant)
+        frozen = init_llama_params_quantized(r1, cfg, bits=bits)
+    else:
+        frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
+    tx = make_optimizer(TrainConfig(), total_steps=1000)
+    key = jax.random.key(0) if rng_impl is None else \
+        jax.random.key(0, impl=rng_impl)
+    state = init_train_state(trainable, tx, key)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(4, cfg.vocab_size, (b, L)), jnp.int32)
+    labels = jnp.asarray(np.where(rng.random((b, L)) < 0.25, -100,
+                                  np.asarray(toks)), jnp.int32)
+    mod = np.zeros((3, b, L), np.float32)
+    mod[0, :, : L // 2] = 1
+    mod[1, :, L // 2: 3 * L // 4] = 1
+    mod[2, :, 3 * L // 4:] = 1
+    q = np.zeros((b, L), np.float32)
+    q[:, 2: L // 8] = 1
+    batch_d = {"tokens": toks, "labels": labels,
+               "modality_masks": jnp.asarray(mod),
+               "question_mask": jnp.asarray(q)}
+    loss_fn = make_llama_moka_loss(cfg, spec, remat=True, use_flash=True,
+                                   fused_loss=True, remat_policy=pol)
+    step = make_train_step(loss_fn, tx, donate=True)
+    for _ in range(2):
+        state, m = step(state, frozen, batch_d)
+    float(m["loss"])
+
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            state, m = step(state, frozen, batch_d)
+        float(m["loss"])
+    return outdir
+
+
+def parse(outdir: str, top: int = 40):
+    paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not paths:
+        print(f"no trace under {outdir}", file=sys.stderr)
+        return
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    # pid -> process name; keep only TPU device threads (not host python)
+    pnames = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pnames[e["pid"]] = e["args"].get("name", "")
+    dev_pids = {p for p, n in pnames.items()
+                if "TPU" in n or "/device" in n.lower() or "XLA" in n}
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        name = e.get("name", "?")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
+        agg[name] += dur
+        cnt[name] += 1
+        total += dur
+    print(f"# trace {path}")
+    print(f"# device pids: { {p: pnames[p] for p in dev_pids} }")
+    print(f"# total device time {total:.1f} ms over 3 steps")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:top]
+    for name, dur in rows:
+        print(f"{dur:9.2f} ms  x{cnt[name]:<5} {name[:140]}")
+
+
+if __name__ == "__main__":
+    if "--parse" in sys.argv:
+        parse(sys.argv[sys.argv.index("--parse") + 1])
+    else:
+        name = sys.argv[1] if len(sys.argv) > 1 else "llama2_7b_int4"
+        outdir = run_and_trace(name)
+        parse(outdir)
