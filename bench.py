@@ -37,7 +37,8 @@ def _enable_compile_cache():
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
         fused_moka=False, rng_impl=None, ce_chunk=128,
-        dropout_rate=0.05, fwd_only=False, rank_attn=True):
+        dropout_rate=0.05, fwd_only=False, rank_attn=True,
+        flash_rank_attn=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -54,6 +55,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         spec = _dc.replace(spec, attn_modalities=())
     if bf16_dots:
         spec = spec.with_bf16_dots()
+    if flash_rank_attn:
+        spec = spec.with_flash_rank_attn()
     r1, r2 = jax.random.split(jax.random.key(0))
     if quantize:
         # int8/int4 weight-only frozen base (QLoRA-style): the 7B flagship

@@ -80,9 +80,18 @@ class MokaSpec:
     post_scales: tuple[float, ...] | None = None
     dropout_rate: float = 0.0
     bf16_dots: bool = False
+    flash_rank_attn: bool = False
 
     def with_bf16_dots(self) -> "MokaSpec":
         return dataclasses.replace(self, bf16_dots=True)
+
+    def with_flash_rank_attn(self) -> "MokaSpec":
+        """Run the rank-space cross-attention through the Pallas flash
+        kernel: the (b, L, L) fp32 score tensor stays in VMEM instead of
+        round-tripping HBM once per modality per projection (fwd + remat +
+        bwd).  Same math, same fp32 softmax; only the online-softmax
+        accumulation order differs."""
+        return dataclasses.replace(self, flash_rank_attn=True)
 
     @staticmethod
     def avt(rank: int = 4, lora_alpha: float = 16.0, blc_weight: float = 1.0,
@@ -155,6 +164,25 @@ def rank_space_cross_attention(q: Array, keys: Array, question_mask: Array,
     return jnp.einsum("blk,bkr->blr", probs.astype(keys.dtype), keys)
 
 
+def flash_rank_space_cross_attention(q: Array, keys: Array,
+                                     question_mask: Array,
+                                     dk: float) -> Array:
+    """``rank_space_cross_attention`` on the Pallas flash kernel.
+
+    One head of head_dim r: q/keys ride through ``flash_mha`` (causal off,
+    ``attn_mask`` = the question mask, default scale = 1/sqrt(head_dim) =
+    1/sqrt(dk)).  The kernel's fully-masked-row semantics reproduce the
+    no-question-sample guard exactly: forward emits zero rows, backward
+    zeroes their gradients (``flash_attention.py:81-86,116-120``).  Inputs
+    keep their dtype (fp32 upstream) — at r=4 the dots are flop-free, the
+    entire win is the (b, L, L) scores never touching HBM."""
+    from moka_tpu.ops.flash_attention import flash_mha
+    assert q.shape[-1] == dk, (q.shape, dk)
+    out = flash_mha(q[:, :, None, :], keys[:, :, None, :],
+                    keys[:, :, None, :], question_mask, causal=False)
+    return out[:, :, 0, :]
+
+
 def moka_delta(x: Array, lora_a: Array, lora_b: Array,
                modality_masks: Array, question_mask: Array,
                spec: MokaSpec, *, dropout_rng: Array | None = None) -> Array:
@@ -198,8 +226,12 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
 
     buffer = jnp.sum(a_all, axis=0)
     for i in spec.attn_modalities:
-        attn = rank_space_cross_attention(a_all[i], keys, question_mask,
-                                          dk=spec.rank, precision=prec)
+        if spec.flash_rank_attn:
+            attn = flash_rank_space_cross_attention(
+                a_all[i], keys, question_mask, dk=spec.rank)
+        else:
+            attn = rank_space_cross_attention(a_all[i], keys, question_mask,
+                                              dk=spec.rank, precision=prec)
         buffer = buffer + modality_masks[i][..., None] * (
             jnp.float32(spec.attn_weight) * attn)
 

@@ -56,8 +56,19 @@ def rotate_half(x: Array) -> Array:
 
 
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
-    """x: (b, L, n_heads, head_dim); cos/sin: (b, L, head_dim)."""
-    cos = cos[:, :, None, :].astype(jnp.float32)
-    sin = sin[:, :, None, :].astype(jnp.float32)
-    xf = x.astype(jnp.float32)
-    return (xf * cos + rotate_half(xf) * sin).astype(x.dtype)
+    """x: (b, L, n_heads, head_dim); cos/sin: (b, L, head_dim) fp32 tables.
+
+    Applied in x's dtype — matching the reference, whose
+    ``apply_rotary_pos_emb`` multiplies by cos/sin caches kept in the layer
+    dtype (``modeling_llama.py:266-291``).  The rotation works on the two
+    half-planes directly (cos/sin duplicate their halves, so half-width
+    tables suffice): ``out = [x1*c - x2*s, x2*c + x1*s]``.  The previous
+    form — fp32 upcast + ``rotate_half`` (slice/negate/concat of a full-width
+    copy) — materialized two fp32 copies of each (b,L,heads,hd) q/k tensor
+    and profiled at ~78 ms (~6%) of the 7B train step, pure HBM traffic."""
+    half = x.shape[-1] // 2
+    c = cos[:, :, None, :half].astype(x.dtype)
+    s = sin[:, :, None, :half].astype(x.dtype)
+    x1 = x[..., :half]
+    x2 = x[..., half:]
+    return jnp.concatenate([x1 * c - x2 * s, x2 * c + x1 * s], axis=-1)

@@ -191,3 +191,38 @@ def test_grads_flow_only_through_adapters():
     assert np.isfinite(np.asarray(g["a"])).all()
     assert float(jnp.abs(g["a"]).sum()) > 0
     assert float(jnp.abs(g["b"]).sum()) > 0
+
+
+@pytest.mark.parametrize("flavor", ["avt", "vt"])
+def test_flash_rank_attn_matches_jnp(flavor):
+    """flash_rank_attn=True routes the rank-space attention through the
+    Pallas flash kernel (interpret mode on CPU): forward AND adapter grads
+    must match the jnp path, including a no-question sample whose rows get
+    zero attention (and zero attention-gradient)."""
+    rng = np.random.default_rng(7)
+    n_mod = 3 if flavor == "avt" else 2
+    spec = (MokaSpec.avt(rank=4, blc_weight=0.7, dropout_rate=0.0)
+            if flavor == "avt" else
+            MokaSpec.vt(rank=4, attn_weight=0.05, dropout_rate=0.0))
+    b, L, d_in, d_out = 3, 24, 16, 12
+    x = rng.standard_normal((b, L, d_in)).astype(np.float32)
+    A = rng.standard_normal((n_mod, d_in, 4)).astype(np.float32) * 0.1
+    B = rng.standard_normal((4, d_out)).astype(np.float32) * 0.1
+    masks, qmask = _make_masks(rng, b, L, n_mod)
+    qmask[1, :] = 0.0  # sample 1: no question tokens at all
+
+    def loss(params, spec):
+        d = moka_delta(x, params["a"], params["b"], jnp.asarray(masks),
+                       jnp.asarray(qmask), spec)
+        return jnp.sum(d * jnp.cos(d)), d
+
+    params = {"a": jnp.asarray(A), "b": jnp.asarray(B)}
+    (l0, d0), g0 = jax.value_and_grad(loss, has_aux=True)(params, spec)
+    (l1, d1), g1 = jax.value_and_grad(loss, has_aux=True)(
+        params, spec.with_flash_rank_attn())
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for k in g0:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                   rtol=2e-4, atol=1e-5)
