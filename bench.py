@@ -327,7 +327,7 @@ def _mm_candidates():
     return {
         # proj_nokv_lse (the text-only flagship policy) OOMs here by ~1.9 GB
         # once the encoder weights + projector optimizer state are resident;
-        # qkvod_lse measured 1.386 s/step (2,956 tok/s, ~68% eff. MFU)
+        # qkvod_lse measured 1.307 s/step (3,133 tok/s, ~73% eff. MFU, r3)
         "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse"),
         "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse"),
         "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None),
