@@ -136,9 +136,8 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
         from moka_tpu.ops.moka_pallas import moka_delta_fused
         x_d = x
         if rng is not None:
-            keep = 1.0 - spec.dropout_rate
-            dmask = jax.random.bernoulli(rng, keep, x.shape)
-            x_d = jnp.where(dmask, x / keep, 0.0).astype(x.dtype)
+            from moka_tpu.ops.moka import lora_dropout
+            x_d = lora_dropout(x, rng, spec.dropout_rate)
         return checkpoint_name(
             y + moka_delta_fused(x_d, a, b, masks.modality, masks.question,
                                  spec), f"proj_{name}")

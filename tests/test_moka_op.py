@@ -226,3 +226,26 @@ def test_flash_rank_attn_matches_jnp(flavor):
     for k in g0:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_lora_dropout_statistics_and_grads():
+    """Raw-bits dropout: empirical keep rate ≈ 1-rate, kept entries scaled
+    by 1/keep, deterministic per key, works under grad and with the rbg
+    PRNG implementation (the training configuration)."""
+    from moka_tpu.ops.moka import lora_dropout
+    x = jnp.ones((64, 1024), jnp.float32)
+    for impl in (None, "rbg"):
+        key = (jax.random.key(3) if impl is None
+               else jax.random.key(3, impl=impl))
+        y = lora_dropout(x, key, 0.05)
+        kept = float(jnp.mean((np.asarray(y) > 0)))
+        assert abs(kept - 0.95) < 0.01, (impl, kept)
+        vals = np.unique(np.asarray(y))
+        np.testing.assert_allclose(sorted(vals), [0.0, 1.0 / 0.95],
+                                   rtol=1e-6)
+        y2 = lora_dropout(x, key, 0.05)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+    g = jax.grad(lambda v: jnp.sum(lora_dropout(v, jax.random.key(0),
+                                                0.5)))(x)
+    vals = np.unique(np.asarray(g))
+    np.testing.assert_allclose(sorted(vals), [0.0, 2.0], rtol=1e-6)
