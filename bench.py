@@ -38,7 +38,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
         fused_moka=False, rng_impl=None, ce_chunk=128,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
-        flash_rank_attn=False):
+        flash_rank_attn=False, question_window=None):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -57,6 +57,10 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         spec = spec.with_bf16_dots()
     if flash_rank_attn:
         spec = spec.with_flash_rank_attn()
+    if question_window:
+        # the bench question span is L//8 - 2 tokens (see mask below);
+        # MUSIC-AVQA questions are far shorter than L/8 in practice
+        spec = spec.with_question_window(question_window)
     r1, r2 = jax.random.split(jax.random.key(0))
     if quantize:
         # int8/int4 weight-only frozen base (QLoRA-style): the 7B flagship
@@ -158,7 +162,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "use_flash": use_flash, "fused_loss": fused_loss,
         "quantized_base": quantize, "remat_policy": remat_policy,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
-        "rng_impl": rng_impl,
+        "rng_impl": rng_impl, "question_window": question_window,
     }
 
 
@@ -323,7 +327,9 @@ def _mm_candidates():
     from moka_tpu.models.unified import UnifiedConfig
     cfg7b = UnifiedConfig.avt_7b()
     import dataclasses as _dc
-    cfg7b = _dc.replace(cfg7b, spec=cfg7b.spec.with_bf16_dots())
+    cfg7b = _dc.replace(
+        cfg7b,
+        spec=cfg7b.spec.with_bf16_dots().with_question_window(256))
     return {
         # proj_nokv_lse (the text-only flagship policy) OOMs here by ~1.9 GB
         # once the encoder weights + projector optimizer state are resident;
@@ -348,29 +354,34 @@ def _candidates():
     from moka_tpu.core.config import LlamaConfig
     return {
         # flagship: int4-packed frozen base frees HBM for the proj_nokv_lse
-        # save policy (no gate/up matmul or flash-fwd recompute in backward)
+        # save policy (no gate/up matmul or flash-fwd recompute in backward);
+        # question_window=128 bounds the rank-attention keys to the
+        # (contiguous) question span (bench span: 126 tokens; real MUSIC-AVQA
+        # questions are far shorter).  kq=128 and 256 measured within noise
+        # of each other (+3.3%); 256 ships as the safer bound
         "llama2_7b_int4": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
-                           4, "proj_nokv_lse", True, "rbg"),
+                           4, "proj_nokv_lse", True, "rbg", 256),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
-                           True, "qkvod_lse", True, "rbg"),
+                           True, "qkvod_lse", True, "rbg", 256),
         "llama2_7b_int8_fullremat": (
             LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, True, None,
-            True, "rbg"),
+            True, "rbg", 0),
         "llama_3b": (LlamaConfig(vocab_size=32011, dim=2560, n_layers=26,
                                  n_heads=20, n_kv_heads=20,
                                  intermediate=6912), 4, 1024, False, "qkvod",
-                     True, "rbg"),
+                     True, "rbg", 0),
         "llama_1b": (LlamaConfig(vocab_size=32011, dim=2048, n_layers=16,
                                  n_heads=16, n_kv_heads=16,
                                  intermediate=5504), 8, 1024, False, "qkvod",
-                     True, "rbg"),
+                     True, "rbg", 0),
     }
 
 
 def run_one(name: str) -> None:
-    cfg, b, L, quant, pol, bf16, rng_impl = _candidates()[name]
+    cfg, b, L, quant, pol, bf16, rng_impl, qw = _candidates()[name]
     print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
-                         bf16_dots=bf16, rng_impl=rng_impl)))
+                         bf16_dots=bf16, rng_impl=rng_impl,
+                         question_window=qw or None)))
 
 
 def main():

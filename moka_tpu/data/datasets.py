@@ -59,7 +59,8 @@ class UnifiedDataset:
                  video_frame_nums: int = 10, image_size: int = 224,
                  n_video_tokens: int = 320, n_audio_tokens: int = 320,
                  qformer_tokenize: Callable[[str], list[int]] | None = None,
-                 qformer_question_len: int = 32):
+                 qformer_question_len: int = 32,
+                 max_question_tokens: int | None = None):
         """qformer_tokenize: optional BERT-vocab ``encode(text)->ids`` for
         instruction-aware Q-Former projection (the reference supports passing
         the question into the Q-Former's text stream,
@@ -75,6 +76,9 @@ class UnifiedDataset:
         self.image_size = image_size
         self.n_video_tokens = n_video_tokens
         self.n_audio_tokens = n_audio_tokens
+        # mirror of MokaSpec.max_question_tokens: fail at assembly rather
+        # than silently truncate the rank-attention key set
+        self.max_question_tokens = max_question_tokens
         self.samples: list[dict] = []
         if avqa_annotation:
             self._add_avqa(avqa_annotation)
@@ -194,7 +198,8 @@ class UnifiedDataset:
             assembled.append(asm.assemble_sample(
                 ids, labels, self.tok.token_to_id, self.tok.pad_id,
                 n_video_tokens=self.n_video_tokens,
-                n_audio_tokens=self.n_audio_tokens))
+                n_audio_tokens=self.n_audio_tokens,
+                max_question_tokens=self.max_question_tokens))
         batch = asm.pad_batch(assembled, self.tok.pad_id, pad_to=pad_to)
         batch["video"] = np.stack([it["video"] for it in items])
         batch["audio"] = np.stack([it["audio"] for it in items])

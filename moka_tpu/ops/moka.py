@@ -81,9 +81,28 @@ class MokaSpec:
     dropout_rate: float = 0.0
     bf16_dots: bool = False
     flash_rank_attn: bool = False
+    max_question_tokens: int | None = None
 
     def with_bf16_dots(self) -> "MokaSpec":
         return dataclasses.replace(self, bf16_dots=True)
+
+    def with_question_window(self, kq: int) -> "MokaSpec":
+        """Bound the rank-attention key set to a static window of ``kq``
+        positions around the question span.
+
+        The question mask is contiguous by construction (it covers the
+        tokens between ``<question_start>`` and ``<question_end>`` —
+        reference ``unified_arch.py:153-163``), and the reference itself
+        attends only to the sliced question span (``lora.py:489-496``:
+        ``k_special = lora_A_output[qs_id+1:qe_id]``), not all L positions.
+        With a window, scores/probs are (b, L, kq) instead of (b, L, L) —
+        at L=1024, kq=128 that is 8x less softmax HBM traffic per modality
+        per projection (fwd + remat + bwd) — while the math is unchanged:
+        keys outside the span are masked to -inf and contribute exact zeros
+        to the softmax in both forms.  Spans longer than ``kq`` would be
+        silently truncated, so the data assembler must guarantee the bound
+        (``assemble_sample`` raises on violation when a window is set)."""
+        return dataclasses.replace(self, max_question_tokens=kq)
 
     def with_flash_rank_attn(self) -> "MokaSpec":
         """Run the rank-space cross-attention through the Pallas flash
@@ -183,6 +202,27 @@ def flash_rank_space_cross_attention(q: Array, keys: Array,
     return out[:, :, 0, :]
 
 
+def question_window(keys: Array, question_mask: Array,
+                    kq: int) -> tuple[Array, Array]:
+    """Gather a static-size window covering the (contiguous) question span.
+
+    keys: (b, L, r); question_mask: (b, L) 0/1.  Returns (b, kq, r) keys and
+    the (b, kq) mask restricted to the window.  The window starts at the
+    first question token (clamped so it stays in bounds); rows without any
+    question tokens get window [0, kq) with an all-zero mask, which the
+    caller's has-question guard handles exactly as in the full-L path.
+    """
+    b, L, _ = keys.shape
+    if kq >= L:
+        return keys, question_mask
+    start = jnp.argmax(question_mask > 0, axis=-1)  # (b,) 0 if no question
+    start = jnp.minimum(start, L - kq)
+    idx = start[:, None] + jnp.arange(kq, dtype=start.dtype)[None]  # (b, kq)
+    keys_w = jnp.take_along_axis(keys, idx[..., None], axis=1)
+    mask_w = jnp.take_along_axis(question_mask, idx, axis=1)
+    return keys_w, mask_w
+
+
 def lora_dropout(x: Array, rng: Array, rate: float) -> Array:
     """LoRA dropout on the adapter input (reference ``lora.py:371,403``).
 
@@ -240,6 +280,13 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
     a_all = a_all * modality_masks[..., None] * jnp.float32(spec.pre_scale)
 
     keys = a_all[0] * question_mask[..., None]  # (b, L, r)
+    q_mask = question_mask
+    if spec.max_question_tokens is not None and not spec.flash_rank_attn:
+        # static window over the contiguous question span: scores shrink
+        # from (b, L, L) to (b, L, kq) — same math, masked keys contribute
+        # exact zeros either way (see MokaSpec.with_question_window)
+        keys, q_mask = question_window(keys, question_mask,
+                                       spec.max_question_tokens)
 
     buffer = jnp.sum(a_all, axis=0)
     for i in spec.attn_modalities:
@@ -247,7 +294,7 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
             attn = flash_rank_space_cross_attention(
                 a_all[i], keys, question_mask, dk=spec.rank)
         else:
-            attn = rank_space_cross_attention(a_all[i], keys, question_mask,
+            attn = rank_space_cross_attention(a_all[i], keys, q_mask,
                                               dk=spec.rank, precision=prec)
         buffer = buffer + modality_masks[i][..., None] * (
             jnp.float32(spec.attn_weight) * attn)

@@ -58,6 +58,7 @@ def test_finetune_cli_tiny_end_to_end(tiny_world):
         "--epochs", "1",
         "--pad-to", "128",
         "--learning-rate", "1e-3",
+        "--question-window", "16",
     ])
     out = tiny_world["out"]
     assert os.path.exists(os.path.join(out, "adapter_model.bin"))

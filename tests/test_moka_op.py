@@ -249,3 +249,62 @@ def test_lora_dropout_statistics_and_grads():
                                                 0.5)))(x)
     vals = np.unique(np.asarray(g))
     np.testing.assert_allclose(sorted(vals), [0.0, 2.0], rtol=1e-6)
+
+
+def test_question_window_matches_full():
+    """Windowed rank attention (max_question_tokens) is exact vs the full-L
+    path: spans at the start, middle, and tail (window-clamp), a row with no
+    question, fwd and grads, both flavors."""
+    b, L, d_in, d_out, kq = 4, 64, 16, 24, 16
+    key = jax.random.key(7)
+    ks = jax.random.split(key, 4)
+    x = jax.random.normal(ks[0], (b, L, d_in), jnp.float32)
+    for flavor in ("avt", "vt"):
+        spec = (MokaSpec.avt(rank=4) if flavor == "avt"
+                else MokaSpec.vt(rank=4))
+        spec_w = spec.with_question_window(kq)
+        p = init_moka_params(ks[1], d_in, d_out, spec)
+        p["b"] = jax.random.normal(ks[2], p["b"].shape, jnp.float32) * 0.1
+        M = spec.num_modalities
+        mod = np.zeros((M, b, L), np.float32)
+        mod[0, :, : L // 2] = 1
+        for m in range(1, M):
+            mod[m, :, L // 2 + (m - 1) * 8: L // 2 + m * 8] = 1
+        qm = np.zeros((b, L), np.float32)
+        qm[0, 0:5] = 1            # span at the very start
+        qm[1, 20:20 + kq] = 1     # exactly window-sized, mid-sequence
+        qm[2, L - 3:] = 1         # tail: start clamps to L - kq
+        # row 3: no question at all (attention must contribute nothing)
+        mod_j, qm_j = jnp.asarray(mod), jnp.asarray(qm)
+
+        def f(params, s):
+            return moka_delta(x, params["a"], params["b"], mod_j, qm_j, s)
+
+        np.testing.assert_allclose(np.asarray(f(p, spec_w)),
+                                   np.asarray(f(p, spec)),
+                                   rtol=1e-6, atol=1e-7)
+        g0 = jax.grad(lambda q: jnp.sum(f(q, spec) ** 2))(p)
+        g1 = jax.grad(lambda q: jnp.sum(f(q, spec_w) ** 2))(p)
+        for k in g0:
+            np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g0[k]),
+                                       rtol=1e-5, atol=1e-7)
+    # kq >= L degenerates to the untouched full path
+    from moka_tpu.ops.moka import question_window
+    kfull, mfull = question_window(x[..., :4], qm_j, L)
+    np.testing.assert_array_equal(np.asarray(kfull), np.asarray(x[..., :4]))
+
+
+def test_assembler_question_window_guard():
+    """assemble_sample fails fast when a question span exceeds the
+    configured rank-attention window."""
+    from moka_tpu.data import assembler as asm
+    t2i = {t: 100 + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    ids = ([5, 6] + [t2i["<question_start>"]] + [7] * 10
+           + [t2i["<question_end>"]] + [8, 9])
+    labels = [-100] * (len(ids) - 2) + [8, 9]
+    ok = asm.assemble_sample(np.asarray(ids), np.asarray(labels), t2i,
+                             pad_id=0, max_question_tokens=10)
+    assert int(ok.question_mask.sum()) == 10
+    with pytest.raises(ValueError, match="question span"):
+        asm.assemble_sample(np.asarray(ids), np.asarray(labels), t2i,
+                            pad_id=0, max_question_tokens=9)
