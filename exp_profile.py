@@ -21,7 +21,7 @@ def run_and_trace(name: str) -> str:
     import jax
     import bench
 
-    cfg, b, L, quant, pol, bf16, rng_impl = bench._candidates()[name]
+    cfg, b, L, quant, pol, bf16, rng_impl, qw = bench._candidates()[name]
     outdir = f"/tmp/moka_prof/{name}"
     os.makedirs(outdir, exist_ok=True)
 
@@ -39,6 +39,8 @@ def run_and_trace(name: str) -> str:
     spec = MokaSpec.avt(rank=4, dropout_rate=0.05)
     if bf16:
         spec = spec.with_bf16_dots()
+    if qw:
+        spec = spec.with_question_window(qw)
     r1, r2 = jax.random.split(jax.random.key(0))
     if quant:
         from moka_tpu.ops.quant import init_llama_params_quantized

@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pad-to", type=int, default=1024)
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--blc-weight", type=float, default=1.0)
+    p.add_argument("--question-window", type=int, default=0,
+                   help="static rank-attention key window at prefill "
+                        "(tokens); 0 = full-length keys")
     p.add_argument("--quantize-base", nargs="?", type=int, const=8,
                    default=0, choices=[4, 8], metavar="BITS",
                    help="int8/int4 weight-only frozen base (QLoRA-style); "
@@ -134,6 +137,8 @@ def main(argv=None):
     tok = load_tokenizer(args.tokenizer_json)
     spec = MokaSpec.avt(rank=args.lora_r, blc_weight=args.blc_weight,
                         dropout_rate=0.0)
+    if args.question_window:
+        spec = spec.with_question_window(args.question_window)
     if args.model_preset == "tiny":
         import dataclasses as _dc
         base = unified.UnifiedConfig.tiny(spec=spec)
@@ -255,7 +260,9 @@ def main(argv=None):
                         n_video_tokens=n_frames *
                         cfg.vl_projector.num_query_tokens,
                         n_audio_tokens=10 *
-                        cfg.al_projector.num_query_tokens, **kw)
+                        cfg.al_projector.num_query_tokens,
+                        max_question_tokens=args.question_window or None,
+                        **kw)
 
     import itertools
     batch_counter = itertools.count()

@@ -30,6 +30,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--lora-r", type=int, default=4)
     p.add_argument("--lora-alpha", type=float, default=16.0)
     p.add_argument("--lora-dropout", type=float, default=0.05)
+    p.add_argument("--question-window", type=int, default=0,
+                   help="static rank-attention key window (tokens); "
+                        "0 = full-length keys")
     p.add_argument("--learning-rate", type=float, default=1e-4)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--global-batch", type=int, default=32)
@@ -122,6 +125,10 @@ def main(argv=None):
                                       rank=args.lora_r,
                                       lora_alpha=args.lora_alpha,
                                       dropout_rate=args.lora_dropout)
+    if args.question_window:
+        import dataclasses as _dc
+        cfg = _dc.replace(
+            cfg, spec=cfg.spec.with_question_window(args.question_window))
     remat_policy = args.remat_policy
     if remat_policy == "auto":
         remat_policy = None if args.model_preset == "tiny" else "qkvod"
@@ -182,7 +189,9 @@ def main(argv=None):
                 batch_items = [samples[int(j)] for j in order[i:i + per_step]]
                 pix = np.stack([s.pop("pixel_values") for s in batch_items])
                 batch = collate_vt(batch_items, tok.pad_id,
-                                   pad_to=args.pad_to)
+                                   pad_to=args.pad_to,
+                                   max_question_tokens=args.question_window
+                                   or None)
                 for s, p in zip(batch_items, pix):
                     s["pixel_values"] = p
                 batch["pixel_values"] = pix

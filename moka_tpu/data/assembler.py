@@ -53,6 +53,23 @@ class AssembledSample:
     audio_pos: np.ndarray      # (n_audio,)
 
 
+def _check_question_extent(qm: np.ndarray, kq: int) -> None:
+    """Fail fast when the question span cannot fit a kq-token rank-attention
+    window (``MokaSpec.with_question_window``).  The correctness condition is
+    the span EXTENT — last flagged position - first + 1 — since the windowed
+    attention gathers kq contiguous positions anchored at the first one
+    (interior unflagged positions stay masked, so extent <= kq is exact)."""
+    idx = np.nonzero(qm > 0)[0]
+    if len(idx) == 0:
+        return
+    extent = int(idx[-1] - idx[0] + 1)
+    if extent > kq:
+        raise ValueError(
+            f"question span extent of {extent} tokens exceeds the "
+            f"configured rank-attention window ({kq}); raise "
+            f"--question-window or shorten the prompt")
+
+
 def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
                     token_to_id: dict, pad_id: int,
                     n_video_tokens: int = 0,
@@ -106,11 +123,8 @@ def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
         pre = idx + 1
     text_seg(input_ids[pre:], labels[pre:], is_question=False)
 
-    if max_question_tokens is not None and sum(qm) > max_question_tokens:
-        raise ValueError(
-            f"question span of {sum(qm)} tokens exceeds the configured "
-            f"rank-attention window ({max_question_tokens}); raise "
-            f"--question-window or shorten the prompt")
+    if max_question_tokens is not None:
+        _check_question_extent(np.asarray(qm), max_question_tokens)
 
     return AssembledSample(
         ids=np.asarray(out_ids, np.int32),

@@ -161,7 +161,8 @@ def test_train_vt_cli_tiny_end_to_end(tmp_path):
           "--epochs", "1",
           "--pad-to", "64",
           "--lora-dropout", "0.0",
-          "--learning-rate", "1e-3"])
+          "--learning-rate", "1e-3",
+          "--question-window", "16"])
     assert os.path.exists(os.path.join(out, "model.safetensors"))
     metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     assert len(metrics) >= 2
