@@ -38,7 +38,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
         fused_moka=False, rng_impl=None, ce_chunk=128,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
-        flash_rank_attn=False, question_window=None):
+        flash_rank_attn=False, question_window=None, a8_dots=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -99,7 +99,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
                                    fused_loss=fused_loss,
                                    remat_policy=remat_policy,
                                    use_fused_moka=fused_moka,
-                                   ce_chunk=ce_chunk)
+                                   ce_chunk=ce_chunk, a8_dots=a8_dots)
     step = make_train_step(loss_fn, tx, donate=True)
     if fwd_only:  # ablation probe: loss evaluation without backward
         fwd = jax.jit(lambda s, f, b: loss_fn(s.params, f, b,
@@ -163,12 +163,13 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "quantized_base": quantize, "remat_policy": remat_policy,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
         "rng_impl": rng_impl, "question_window": question_window,
+        "a8_dots": a8_dots,
     }
 
 
 def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
                    remat_policy=None, n_video_groups=10, n_audio_groups=10,
-                   audio_frames=192, rng_impl="rbg"):
+                   audio_frames=192, rng_impl="rbg", a8_dots=False):
     """FULL multimodal fine-tune step at flagship scale: CLIP ViT-L/14 on
     ``n_video_groups`` frames + BEATs on ``n_audio_groups`` fbank segments
     (both frozen, forward every step), two trainable Q-Former projectors
@@ -236,7 +237,8 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
 
     loss_fn = unified.unified_loss(ucfg, remat=True, use_flash=True,
                                    fused_loss=True,
-                                   remat_policy=remat_policy)
+                                   remat_policy=remat_policy,
+                                   a8_dots=a8_dots)
     tx = make_optimizer(TrainConfig(), total_steps=1000)
     key = jax.random.key(0) if rng_impl is None else \
         jax.random.key(0, impl=rng_impl)
@@ -314,7 +316,7 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         "model_flops_per_sec": step_flops / dt,
         "device": str(jax.devices()[0]),
         "quantized_base": quantize, "remat_policy": remat_policy,
-        "rng_impl": rng_impl,
+        "rng_impl": rng_impl, "a8_dots": a8_dots,
     }
 
 
@@ -333,17 +335,21 @@ def _mm_candidates():
     return {
         # proj_nokv_lse (the text-only flagship policy) OOMs here by ~1.9 GB
         # once the encoder weights + projector optimizer state are resident;
-        # qkvod_lse measured 1.307 s/step (3,133 tok/s, ~73% eff. MFU, r3)
-        "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse"),
-        "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse"),
-        "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None),
+        # qkvod_lse measured 1.307 s/step (3,133 tok/s, ~73% eff. MFU, r3).
+        # a8: int8 activations on the LLaMA projections (W4A8) — 3,828 tok/s
+        # (~89% eff. MFU); quality anchored by exp_quant_quality.py
+        # alongside the weight-only bases
+        "avt_7b_int4a8_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", True),
+        "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", False),
+        "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse", False),
+        "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None, False),
     }
 
 
 def run_one_mm(name: str) -> None:
-    ucfg, b, L, quant, pol = _mm_candidates()[name]
+    ucfg, b, L, quant, pol, a8 = _mm_candidates()[name]
     print(json.dumps(run_multimodal(name, ucfg, b, L, quant,
-                                    remat_policy=pol)))
+                                    remat_policy=pol, a8_dots=a8)))
 
 
 def _candidates():
@@ -359,6 +365,12 @@ def _candidates():
         # (contiguous) question span (bench span: 126 tokens; real MUSIC-AVQA
         # questions are far shorter).  kq=128 and 256 measured within noise
         # of each other (+3.3%); 256 ships as the safer bound
+        # W4A8: + dynamic per-token int8 activations on the frozen-base dots
+        # (the MXU int8 path is ~2x the bf16 rate); measured 3,775 -> 4,318
+        # tok/s.  Quality anchored by exp_quant_quality.py (a8 arms).
+        "llama2_7b_int4a8": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
+                             1024, 4, "proj_nokv_lse", True, "rbg", 256,
+                             True),
         "llama2_7b_int4": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            4, "proj_nokv_lse", True, "rbg", 256),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
@@ -378,10 +390,12 @@ def _candidates():
 
 
 def run_one(name: str) -> None:
-    cfg, b, L, quant, pol, bf16, rng_impl, qw = _candidates()[name]
+    v = _candidates()[name]
+    cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
+    a8 = v[8] if len(v) > 8 else False
     print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
                          bf16_dots=bf16, rng_impl=rng_impl,
-                         question_window=qw or None)))
+                         question_window=qw or None, a8_dots=a8)))
 
 
 def main():

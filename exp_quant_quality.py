@@ -97,11 +97,13 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     # ALL variants quantize/keep the SAME bf16 tree: the only difference
     # between runs is the storage format of the frozen weights.
     base = llama.init_llama_params(k1, cfg, dtype=jnp.bfloat16)
-    if variant in ("int8", "int4"):
+    a8 = variant.endswith("a8")          # int4a8 / int8a8: + per-token int8
+    wq = variant[:-2] if a8 else variant  # activations on the base dots
+    if wq in ("int8", "int4"):
         from moka_tpu.ops.quant import quantize_llama_base
-        frozen = quantize_llama_base(base, bits=int(variant[3:]))
+        frozen = quantize_llama_base(base, bits=int(wq[3:]))
         del base
-    elif variant == "bf16":
+    elif wq == "bf16":
         frozen = base
     else:
         raise ValueError(variant)
@@ -113,7 +115,7 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     loss_fn = make_llama_moka_loss(
         cfg, spec, remat=(scale != "tiny"),
         use_flash=(scale != "tiny"), fused_loss=(scale != "tiny"),
-        remat_policy=None)
+        remat_policy=None, a8_dots=a8)
     step = make_train_step(loss_fn, tx, donate=False)
     eval_loss = jax.jit(lambda t, f, bt: loss_fn(t, f, bt,
                                                  jax.random.key(1))[0])
@@ -142,7 +144,7 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
 
 def main(scale: str):
     results = {}
-    for variant in ("bf16", "int8", "int4"):
+    for variant in ("bf16", "int8", "int4", "int4a8", "int8a8"):
         proc = subprocess.run(
             [sys.executable, __file__, "--one", variant, "--scale", scale],
             capture_output=True, text=True, timeout=3600)
@@ -155,7 +157,7 @@ def main(scale: str):
     if "bf16" in results:
         ref = results["bf16"]["heldout_loss"]
         print(f"# held-out loss: bf16={ref:.4f}", file=sys.stderr)
-        for v in ("int8", "int4"):
+        for v in ("int8", "int4", "int4a8", "int8a8"):
             if v in results:
                 h = results[v]["heldout_loss"]
                 print(f"#   {v}={h:.4f}  rel={(h - ref) / ref:+.2%}",

@@ -74,6 +74,12 @@ VARIANTS = {
                         {"question_window": 128}),
     "i4_pnl_qw256":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
                         {"question_window": 256}),
+    # round-3: W4A8 — int8 activations on the MXU int8 path (micro: 193 vs
+    # 118 T/s at the 7B gate shape); bwd stays the bf16 STE dX
+    "i4a8_pnl_qw":     (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 256, "a8_dots": True}),
+    "i8a8_qkvod_qw":   (4, 1024, "qkvod_lse", True, False, "rbg", 8, 128,
+                        {"question_window": 256, "a8_dots": True}),
 }
 
 

@@ -69,6 +69,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rng-impl", default="rbg",
                    help="dropout PRNG ('rbg' = fast TPU RngBitGenerator, "
                         "'threefry2x32' = jax default)")
+    p.add_argument("--a8-dots", action="store_true",
+                   help="dynamic per-token int8 activations on the "
+                        "quantized frozen-base projections (W4A8/W8A8: the "
+                        "MXU int8 path; flagship recipe — quality anchored "
+                        "in PERFORMANCE.md, exp_quant_quality.py)")
     p.add_argument("--adapter-fp32", action="store_true",
                    help="true-fp32 adapter einsums (default: bf16-in/"
                         "fp32-acc, the tuned recipe)")
@@ -239,7 +244,8 @@ def main(argv=None):
     trainer = Trainer(unified.unified_loss(cfg, remat=True,
                                            remat_policy=remat_policy,
                                            use_flash=args.model_preset != "tiny",
-                                           fused_loss=args.model_preset != "tiny"),
+                                           fused_loss=args.model_preset != "tiny",
+                                           a8_dots=args.a8_dots),
                       trainable, frozen, tcfg, total_steps, full_config=tcfg)
 
     def batches():

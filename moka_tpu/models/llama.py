@@ -116,10 +116,16 @@ class MaskBundle:
 
 def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
-                dropout_rng: Array | None, fused: bool = False) -> Array:
+                dropout_rng: Array | None, fused: bool = False,
+                a8: bool = False) -> Array:
     from jax.ad_checkpoint import checkpoint_name
-    from moka_tpu.ops.quant import qmatmul
-    y = qmatmul(x, base_w)
+    from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
+    if a8 and is_quantized(base_w) and x.ndim == 3:
+        # W4A8/W8A8: int8 activations ride the MXU's int8 path (training
+        # fwd; backward stays the bf16 straight-through dX — quant.py)
+        y = qmatmul_a8(x, base_w)
+    else:
+        y = qmatmul(x, base_w)
     if adapters is None or name not in adapters:
         return checkpoint_name(y, f"proj_{name}")
     a, b = adapters[name]["a"], adapters[name]["b"]
@@ -148,6 +154,7 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    use_fused_moka: bool, paged_decode: bool,
+                   a8_dots: bool,
                    context_parallel,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
@@ -169,7 +176,7 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
 
     proj = functools.partial(_apply_proj, adapters=adapters, spec=spec,
                              masks=masks, dropout_rng=dropout_rng,
-                             fused=use_fused_moka)
+                             fused=use_fused_moka, a8=a8_dots)
 
     x = rmsnorm(h, layer["attn_norm"], cfg.rms_eps)
     q = proj("q", x=x, base_w=layer["q"]).reshape(b, L, H, hd)
@@ -329,6 +336,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
             use_flash: bool = False,
             use_fused_moka: bool = False,
             paged_decode: bool = False,
+            a8_dots: bool = False,
             context_parallel=None):
     """Full decoder forward.
 
@@ -377,7 +385,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
         bias = None if use_flash else causal_bias(attn_mask, L, L)
 
     layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
-                                 use_fused_moka, paged_decode,
+                                 use_fused_moka, paged_decode, a8_dots,
                                  context_parallel)
     if remat:
         layer_fn = jax.checkpoint(

@@ -18,7 +18,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          remat_policy: str | None = None,
                          use_fused_moka: bool = False,
                          context_parallel=None,
-                         ce_chunk: int = 128):
+                         ce_chunk: int = 128,
+                         a8_dots: bool = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -44,7 +45,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             remat_policy=remat_policy,
             dropout_rng=rng if spec.dropout_rate > 0 else None,
             logits=not fused_loss, use_flash=use_flash,
-            use_fused_moka=use_fused_moka, context_parallel=context_parallel)
+            use_fused_moka=use_fused_moka, a8_dots=a8_dots,
+            context_parallel=context_parallel)
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
                                                batch["labels"],

@@ -123,6 +123,32 @@ def test_finetune_cli_loftq_quantized(tiny_world):
         "LoftQ init must export nonzero B"
 
 
+def test_finetune_cli_w4a8(tiny_world):
+    """--quantize-base 4 --a8-dots (the flagship W4A8 recipe): int8
+    activations on the frozen dots train end to end with finite,
+    decreasing loss and export the same artifact set."""
+    from moka_tpu.cli.finetune import main
+    main([
+        "--tokenizer-json", tiny_world["tokenizer"],
+        "--avqa-annotation", tiny_world["annotation"],
+        "--output-dir", tiny_world["out"],
+        "--model-preset", "tiny",
+        "--global-batch", "2",
+        "--epochs", "2",
+        "--pad-to", "128",
+        "--learning-rate", "1e-3",
+        "--quantize-base", "4",
+        "--a8-dots",
+    ])
+    out = tiny_world["out"]
+    assert os.path.exists(os.path.join(out, "adapter_model.bin"))
+    metrics = [json.loads(l) for l in
+               open(os.path.join(out, "metrics.jsonl"))]
+    assert len(metrics) >= 4
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert metrics[-1]["loss"] < metrics[0]["loss"]
+
+
 def test_train_vt_cli_tiny_end_to_end(tmp_path):
     """VT driver smoke: tiny random-init LLaVA, LLaVA-Instruct-style JSON +
     synthetic image -> finite losses + model.safetensors in the reference

@@ -165,3 +165,60 @@ def test_int4_sharding_rules():
     assert spec_for_path("llama/layers/down/w_i4", 3) == P(None, "model",
                                                            "fsdp")
     assert spec_for_path("llama/layers/q/scale", 3) == P(None, None, "model")
+
+
+def test_a8_matmul_matches_weight_only_and_ste_grad():
+    """W8A8/W4A8 (`qmatmul_a8`): int8-activation forward stays within the
+    per-token quantization error of the weight-only path, the backward is
+    the straight-through dX of the dequant path (weights frozen, no dW),
+    and all-zero token rows quantize to exact zeros."""
+    from moka_tpu.ops.quant import qmatmul, qmatmul_a8, quantize_int4
+
+    x = jax.random.normal(jax.random.key(0), (2, 16, 64), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(1), (64, 48), jnp.float32) * 0.05
+    for quant in (quantize_int8, quantize_int4):
+        qw = quant(w)
+        y_ref = qmatmul(x, qw).astype(jnp.float32)
+        y_a8 = qmatmul_a8(x, qw).astype(jnp.float32)
+        rel = float(jnp.linalg.norm(y_a8 - y_ref) / jnp.linalg.norm(y_ref))
+        assert rel < 0.02, rel  # per-token int8: O(1/127) relative error
+
+        g_ref = jax.grad(lambda x: qmatmul(x, qw).astype(jnp.float32).sum())(x)
+        g_a8 = jax.grad(
+            lambda x: qmatmul_a8(x, qw).astype(jnp.float32).sum())(x)
+        grel = float(jnp.linalg.norm((g_a8 - g_ref).astype(jnp.float32)) /
+                     jnp.linalg.norm(g_ref.astype(jnp.float32)))
+        assert grel < 0.01, grel  # STE == dequant-path dX (bf16 rounding)
+
+    xz = x.at[0, 3].set(0)
+    yz = qmatmul_a8(xz, quantize_int8(w)).astype(jnp.float32)
+    assert bool(jnp.isfinite(yz).all())
+    assert float(jnp.abs(yz[0, 3]).max()) == 0.0
+
+
+def test_a8_dots_train_step_close_and_trains():
+    """End-to-end: `a8_dots=True` through the decoder — loss within 2% of
+    the weight-only path at init and adapter training still converges."""
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    q4 = quantize_llama_base(base, bits=4)
+    rng = np.random.default_rng(0)
+    t2 = jnp.asarray(rng.integers(4, 64, (2, 16)), jnp.int32)
+    batch = {"tokens": t2, "labels": t2}
+    trainable = {"adapters": llama.init_moka_adapters(jax.random.key(2),
+                                                      CFG, SPEC)}
+    loss_ref = make_llama_moka_loss(CFG, SPEC, remat=True)
+    loss_a8 = make_llama_moka_loss(CFG, SPEC, remat=True, a8_dots=True)
+    l_ref = float(loss_ref(trainable, q4, batch, jax.random.key(0))[0])
+    l_a8 = float(loss_a8(trainable, q4, batch, jax.random.key(0))[0])
+    assert abs(l_a8 - l_ref) / l_ref < 0.02, (l_ref, l_a8)
+
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=30)
+    step = make_train_step(loss_a8, tx)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, q4, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::6]
