@@ -337,8 +337,11 @@ def _mm_candidates():
         # once the encoder weights + projector optimizer state are resident;
         # qkvod_lse measured 1.307 s/step (3,133 tok/s, ~73% eff. MFU, r3).
         # a8: int8 activations on the LLaMA projections (W4A8) — 3,828 tok/s
-        # (~89% eff. MFU); quality anchored by exp_quant_quality.py
+        # (~89% eff. MFU); "full" adds the int8 backward cotangent on the
+        # dX dots — 4,388 tok/s; quality anchored by exp_quant_quality.py
         # alongside the weight-only bases
+        "avt_7b_int4a8f_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse",
+                                     "full"),
         "avt_7b_int4a8_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", True),
         "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", False),
         "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse", False),
@@ -367,10 +370,16 @@ def _candidates():
         # of each other (+3.3%); 256 ships as the safer bound
         # W4A8: + dynamic per-token int8 activations on the frozen-base dots
         # (the MXU int8 path is ~2x the bf16 rate); measured 3,775 -> 4,318
-        # tok/s.  Quality anchored by exp_quant_quality.py (a8 arms).
+        # tok/s.  "full" also quantizes the backward cotangent so the dX
+        # dots ride the int8 path: 4,318 -> 5,023 (SwitchBack-style, dX
+        # only — weights are frozen, no dW exists).  Quality anchored by
+        # exp_quant_quality.py (a8 + a8f arms).
         "llama2_7b_int4a8": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                              1024, 4, "proj_nokv_lse", True, "rbg", 256,
-                             True),
+                             "full"),
+        "llama2_7b_int4a8_ste": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
+                                 1024, 4, "proj_nokv_lse", True, "rbg", 256,
+                                 True),
         "llama2_7b_int4": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            4, "proj_nokv_lse", True, "rbg", 256),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,

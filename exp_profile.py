@@ -21,7 +21,9 @@ def run_and_trace(name: str) -> str:
     import jax
     import bench
 
-    cfg, b, L, quant, pol, bf16, rng_impl, qw = bench._candidates()[name]
+    v = bench._candidates()[name]
+    cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
+    a8 = v[8] if len(v) > 8 else False
     outdir = f"/tmp/moka_prof/{name}"
     os.makedirs(outdir, exist_ok=True)
 
@@ -67,7 +69,8 @@ def run_and_trace(name: str) -> str:
                "modality_masks": jnp.asarray(mod),
                "question_mask": jnp.asarray(q)}
     loss_fn = make_llama_moka_loss(cfg, spec, remat=True, use_flash=True,
-                                   fused_loss=True, remat_policy=pol)
+                                   fused_loss=True, remat_policy=pol,
+                                   a8_dots=a8)
     step = make_train_step(loss_fn, tx, donate=True)
     for _ in range(2):
         state, m = step(state, frozen, batch_d)

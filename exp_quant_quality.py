@@ -97,8 +97,15 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     # ALL variants quantize/keep the SAME bf16 tree: the only difference
     # between runs is the storage format of the frozen weights.
     base = llama.init_llama_params(k1, cfg, dtype=jnp.bfloat16)
-    a8 = variant.endswith("a8")          # int4a8 / int8a8: + per-token int8
-    wq = variant[:-2] if a8 else variant  # activations on the base dots
+    # int4a8 / int8a8: + per-token int8 activations on the base dots;
+    # int4a8f / int8a8f: additionally int8-quantize the backward cotangent
+    # so the dX dots also run on the MXU int8 path (quant.py bwd_a8="full")
+    if variant.endswith("a8f"):
+        a8, wq = "full", variant[:-3]
+    elif variant.endswith("a8"):
+        a8, wq = True, variant[:-2]
+    else:
+        a8, wq = False, variant
     if wq in ("int8", "int4"):
         from moka_tpu.ops.quant import quantize_llama_base
         frozen = quantize_llama_base(base, bits=int(wq[3:]))
@@ -144,7 +151,7 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
 
 def main(scale: str):
     results = {}
-    for variant in ("bf16", "int8", "int4", "int4a8", "int8a8"):
+    for variant in ("bf16", "int8", "int4", "int4a8", "int8a8", "int4a8f"):
         proc = subprocess.run(
             [sys.executable, __file__, "--one", variant, "--scale", scale],
             capture_output=True, text=True, timeout=3600)
@@ -157,7 +164,7 @@ def main(scale: str):
     if "bf16" in results:
         ref = results["bf16"]["heldout_loss"]
         print(f"# held-out loss: bf16={ref:.4f}", file=sys.stderr)
-        for v in ("int8", "int4", "int4a8", "int8a8"):
+        for v in ("int8", "int4", "int4a8", "int8a8", "int4a8f"):
             if v in results:
                 h = results[v]["heldout_loss"]
                 print(f"#   {v}={h:.4f}  rel={(h - ref) / ref:+.2%}",

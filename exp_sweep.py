@@ -80,6 +80,10 @@ VARIANTS = {
                         {"question_window": 256, "a8_dots": True}),
     "i8a8_qkvod_qw":   (4, 1024, "qkvod_lse", True, False, "rbg", 8, 128,
                         {"question_window": 256, "a8_dots": True}),
+    # round-3: full-int8 backward — the cotangent also quantizes per token
+    # so the dX dots ride the MXU int8 path (SwitchBack-style, dX only)
+    "i4a8f_pnl_qw":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 256, "a8_dots": "full"}),
 }
 
 

@@ -69,10 +69,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rng-impl", default="rbg",
                    help="dropout PRNG ('rbg' = fast TPU RngBitGenerator, "
                         "'threefry2x32' = jax default)")
-    p.add_argument("--a8-dots", action="store_true",
+    p.add_argument("--a8-dots", nargs="?", const=True, default=False,
+                   choices=[True, False, "full"],
                    help="dynamic per-token int8 activations on the "
                         "quantized frozen-base projections (W4A8/W8A8: the "
-                        "MXU int8 path; flagship recipe — quality anchored "
+                        "MXU int8 path).  '--a8-dots full' additionally "
+                        "quantizes the backward cotangent so the dX dots "
+                        "also run int8 (flagship recipe — quality anchored "
                         "in PERFORMANCE.md, exp_quant_quality.py)")
     p.add_argument("--adapter-fp32", action="store_true",
                    help="true-fp32 adapter einsums (default: bf16-in/"

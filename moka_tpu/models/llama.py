@@ -117,13 +117,14 @@ class MaskBundle:
 def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
                 dropout_rng: Array | None, fused: bool = False,
-                a8: bool = False) -> Array:
+                a8: bool | str = False) -> Array:
     from jax.ad_checkpoint import checkpoint_name
     from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
     if a8 and is_quantized(base_w) and x.ndim == 3:
-        # W4A8/W8A8: int8 activations ride the MXU's int8 path (training
-        # fwd; backward stays the bf16 straight-through dX — quant.py)
-        y = qmatmul_a8(x, base_w)
+        # W4A8/W8A8: int8 activations ride the MXU's int8 path.  a8=True
+        # keeps backward on the bf16 straight-through dX; a8="full" also
+        # quantizes the cotangent so the dX dots run int8 (quant.py).
+        y = qmatmul_a8(x, base_w, bwd_a8=(a8 == "full"))
     else:
         y = qmatmul(x, base_w)
     if adapters is None or name not in adapters:
@@ -154,7 +155,7 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    use_fused_moka: bool, paged_decode: bool,
-                   a8_dots: bool,
+                   a8_dots: bool | str,
                    context_parallel,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
@@ -336,7 +337,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
             use_flash: bool = False,
             use_fused_moka: bool = False,
             paged_decode: bool = False,
-            a8_dots: bool = False,
+            a8_dots: bool | str = False,
             context_parallel=None):
     """Full decoder forward.
 

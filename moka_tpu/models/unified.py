@@ -216,7 +216,7 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
                  fused_loss: bool = False,
                  remat_policy: str | None = None,
                  mesh=None, batch_axes=("data", "fsdp"),
-                 a8_dots: bool = False):
+                 a8_dots: bool | str = False):
     """Loss closure for the generic train step.  ``train_adapters=False`` =
     stage-1 pretraining (plain-linear twin: no adapter deltas at all,
     ``modeling_llama_post_pretrian.py``).  ``remat_policy``: see

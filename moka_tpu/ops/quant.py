@@ -14,6 +14,8 @@ and the fused CE consume them directly).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -126,8 +128,7 @@ def _a8_fwd_impl(x: Array, w: dict) -> Array:
     return (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
 
 
-@jax.custom_vjp
-def qmatmul_a8(x: Array, w: dict) -> Array:
+def qmatmul_a8(x: Array, w: dict, bwd_a8: bool = False) -> Array:
     """x @ w with the ACTIVATIONS dynamically quantized to int8 per token
     (W4A8 / W8A8): the dot runs int8 x int8 -> int32 on the MXU's int8 path
     (~1.5-2x the bf16 dot rate on v5e; measured 193 T/s vs 118 at the 7B
@@ -135,23 +136,52 @@ def qmatmul_a8(x: Array, w: dict) -> Array:
     the activation quantization adds a per-token relative error of order
     1/127 that the quality anchor (exp_quant_quality.py) bounds end to end.
 
-    Backward is the straight-through estimator on the bf16 dequant path:
-    dX = (g * w_scale) @ W_int^T — identical math to the weight-only path's
-    autodiff dX (the rounding nonlinearity and the sx(x) dependence carry no
-    useful gradient).  Weights are frozen, so no dW exists."""
+    Backward (``bwd_a8=False``) is the straight-through estimator on the
+    bf16 dequant path: dX = (g * w_scale) @ W_int^T — identical math to the
+    weight-only path's autodiff dX (the rounding nonlinearity and the sx(x)
+    dependence carry no useful gradient).  Weights are frozen, so no dW
+    exists.
+
+    ``bwd_a8=True`` additionally quantizes the scaled cotangent g*w_scale
+    per token to int8 so the dX dots also ride the MXU int8 path (the
+    SwitchBack recipe restricted to dX — there is no dW here).  Gradient
+    numerics change by O(1/127) per token; the 1B quality anchor bounds
+    the full-int8 arm end to end."""
+    return _qmatmul_a8(bwd_a8, x, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _qmatmul_a8(bwd_a8: bool, x: Array, w: dict) -> Array:
     return _a8_fwd_impl(x, w)
 
 
-def _a8_vjp_fwd(x, w):
+def _a8_vjp_fwd(bwd_a8, x, w):
     return _a8_fwd_impl(x, w), (w,)
 
 
-def _a8_vjp_bwd(res, g):
+def _a8_vjp_bwd(bwd_a8, res, g):
     (w,) = res
     xdtype = g.dtype  # output dtype == x dtype, so the cotangent carries it
     sw = w["scale"].reshape((1,) * (g.ndim - 1) + (-1,))
-    gs = (g.astype(jnp.float32) * sw).astype(xdtype)
-    if "w_i4" in w:
+    if bwd_a8:
+        # per-token int8 on the scaled cotangent: sw varies along the
+        # CONTRACTED axis f, so it must fold in before quantization
+        gq, sg = _a8_quantize(g.astype(jnp.float32) * sw)
+        if "w_i4" in w:
+            lo, hi = unpack_int4(w["w_i4"])
+            dx = jnp.concatenate(
+                [jnp.einsum("blf,df->bld", gq, lo,
+                            preferred_element_type=jnp.int32),
+                 jnp.einsum("blf,df->bld", gq, hi,
+                            preferred_element_type=jnp.int32)],
+                axis=-1).astype(jnp.float32)
+        else:
+            dx = jnp.einsum("blf,df->bld", gq, w["w_i8"],
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+        dx = (dx * sg).astype(xdtype)
+    elif "w_i4" in w:
+        gs = (g.astype(jnp.float32) * sw).astype(xdtype)
         lo, hi = unpack_int4(w["w_i4"])
         dx = jnp.concatenate(
             [jnp.einsum("blf,df->bld", gs, lo.astype(xdtype),
@@ -160,6 +190,7 @@ def _a8_vjp_bwd(res, g):
                         preferred_element_type=jnp.float32)],
             axis=-1).astype(xdtype)
     else:
+        gs = (g.astype(jnp.float32) * sw).astype(xdtype)
         dx = jnp.einsum("blf,df->bld", gs, w["w_i8"].astype(xdtype),
                         preferred_element_type=jnp.float32).astype(xdtype)
     zeros = jax.tree.map(
@@ -169,7 +200,7 @@ def _a8_vjp_bwd(res, g):
     return dx, zeros
 
 
-qmatmul_a8.defvjp(_a8_vjp_fwd, _a8_vjp_bwd)
+_qmatmul_a8.defvjp(_a8_vjp_fwd, _a8_vjp_bwd)
 
 
 def quantize_llama_base(base: dict, bits: int = 8) -> dict:

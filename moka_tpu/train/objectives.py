@@ -19,7 +19,7 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          use_fused_moka: bool = False,
                          context_parallel=None,
                          ce_chunk: int = 128,
-                         a8_dots: bool = False):
+                         a8_dots: bool | str = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);

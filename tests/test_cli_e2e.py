@@ -124,9 +124,10 @@ def test_finetune_cli_loftq_quantized(tiny_world):
 
 
 def test_finetune_cli_w4a8(tiny_world):
-    """--quantize-base 4 --a8-dots (the flagship W4A8 recipe): int8
-    activations on the frozen dots train end to end with finite,
-    decreasing loss and export the same artifact set."""
+    """--quantize-base 4 --a8-dots full (the flagship W4A8 recipe): int8
+    activations on the frozen dots — forward AND backward-dX — train end
+    to end with finite, decreasing loss and export the same artifact
+    set."""
     from moka_tpu.cli.finetune import main
     main([
         "--tokenizer-json", tiny_world["tokenizer"],
@@ -138,7 +139,7 @@ def test_finetune_cli_w4a8(tiny_world):
         "--pad-to", "128",
         "--learning-rate", "1e-3",
         "--quantize-base", "4",
-        "--a8-dots",
+        "--a8-dots", "full",
     ])
     out = tiny_world["out"]
     assert os.path.exists(os.path.join(out, "adapter_model.bin"))

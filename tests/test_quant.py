@@ -190,6 +190,21 @@ def test_a8_matmul_matches_weight_only_and_ste_grad():
                      jnp.linalg.norm(g_ref.astype(jnp.float32)))
         assert grel < 0.01, grel  # STE == dequant-path dX (bf16 rounding)
 
+        # bwd_a8="full": forward bitwise-identical to the STE variant, dX
+        # within the per-token int8 cotangent error of the STE dX.  A
+        # weighted loss exercises a non-constant cotangent.
+        gw = jax.random.normal(jax.random.key(2), (2, 16, 48), jnp.float32)
+        y_f = qmatmul_a8(x, qw, bwd_a8=True).astype(jnp.float32)
+        assert bool((y_f == y_a8).all())
+        d_ste = jax.grad(lambda x: (qmatmul_a8(x, qw).astype(jnp.float32)
+                                    * gw).sum())(x).astype(jnp.float32)
+        d_ful = jax.grad(
+            lambda x: (qmatmul_a8(x, qw, bwd_a8=True).astype(jnp.float32)
+                       * gw).sum())(x).astype(jnp.float32)
+        frel = float(jnp.linalg.norm(d_ful - d_ste) /
+                     jnp.linalg.norm(d_ste))
+        assert frel < 0.02, frel  # O(1/127) per-token cotangent error
+
     xz = x.at[0, 3].set(0)
     yz = qmatmul_a8(xz, quantize_int8(w)).astype(jnp.float32)
     assert bool(jnp.isfinite(yz).all())
@@ -212,13 +227,21 @@ def test_a8_dots_train_step_close_and_trains():
     l_a8 = float(loss_a8(trainable, q4, batch, jax.random.key(0))[0])
     assert abs(l_a8 - l_ref) / l_ref < 0.02, (l_ref, l_a8)
 
+    # a8_dots="full" changes only backward numerics: same forward loss
+    loss_full = make_llama_moka_loss(CFG, SPEC, remat=True, a8_dots="full")
+    l_full = float(loss_full(trainable, q4, batch, jax.random.key(0))[0])
+    assert l_full == l_a8, (l_full, l_a8)
+
     tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
                                     lr_schedule="constant"), total_steps=30)
-    step = make_train_step(loss_a8, tx)
-    state = init_train_state(trainable, tx, jax.random.key(0))
-    losses = []
-    for _ in range(20):
-        state, m = step(state, q4, batch)
-        losses.append(float(m["loss"]))
-    assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] - 0.1, losses[::6]
+    for loss in (loss_a8, loss_full):
+        step = make_train_step(loss, tx)
+        # fresh copy per variant: the donated step deletes its inputs
+        state = init_train_state(jax.tree.map(jnp.copy, trainable), tx,
+                                 jax.random.key(0))
+        losses = []
+        for _ in range(20):
+            state, m = step(state, q4, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] - 0.1, losses[::6]

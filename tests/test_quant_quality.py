@@ -20,7 +20,7 @@ STEPS = 100
 @pytest.fixture(scope="module")
 def runs():
     return {v: run_variant(v, "tiny", steps=STEPS)
-            for v in ("bf16", "int8", "int4", "int4a8")}
+            for v in ("bf16", "int8", "int4", "int4a8", "int4a8f")}
 
 
 def test_training_actually_learns(runs):
@@ -50,6 +50,17 @@ def test_int4a8_within_band_of_bf16(runs):
     """W4A8 (flagship recipe): per-token int8 activations on the frozen-base
     dots must track the bf16 curve inside the same band as int4."""
     ref, q = runs["bf16"], runs["int4a8"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.02, (i, a, b)
+
+
+def test_int4a8f_within_band_of_bf16(runs):
+    """Full-int8 backward (flagship recipe): additionally quantizing the
+    cotangent for the dX dots must keep the training dynamics inside the
+    same band as the weight-only/STE arms."""
+    ref, q = runs["bf16"], runs["int4a8f"]
     assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
         ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
     for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
