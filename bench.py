@@ -38,7 +38,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
         fused_moka=False, rng_impl=None, ce_chunk=128,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
-        flash_rank_attn=False, question_window=None, a8_dots=False):
+        flash_rank_attn=False, question_window=None, a8_dots=False,
+        quantize_head=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -69,7 +70,9 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         # True (int8) or the bit width itself.
         from moka_tpu.ops.quant import init_llama_params_quantized
         bits = 8 if quantize is True else int(quantize)
-        frozen = init_llama_params_quantized(r1, cfg, bits=bits)
+        frozen = init_llama_params_quantized(
+            r1, cfg, bits=bits,
+            head_bits=(8 if quantize_head is True else quantize_head or None))
     else:
         frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}
@@ -163,13 +166,14 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "quantized_base": quantize, "remat_policy": remat_policy,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
         "rng_impl": rng_impl, "question_window": question_window,
-        "a8_dots": a8_dots,
+        "a8_dots": a8_dots, "quantized_head": quantize_head,
     }
 
 
 def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
                    remat_policy=None, n_video_groups=10, n_audio_groups=10,
-                   audio_frames=192, rng_impl="rbg", a8_dots=False):
+                   audio_frames=192, rng_impl="rbg", a8_dots=False,
+                   quantize_head=False):
     """FULL multimodal fine-tune step at flagship scale: CLIP ViT-L/14 on
     ``n_video_groups`` frames + BEATs on ``n_audio_groups`` fbank segments
     (both frozen, forward every step), two trainable Q-Former projectors
@@ -196,7 +200,9 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
 
     k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
     frozen = {
-        "llama": init_llama_params_quantized(k1, ucfg.llama, bits=quantize)
+        "llama": init_llama_params_quantized(
+            k1, ucfg.llama, bits=quantize,
+            head_bits=(8 if quantize_head is True else quantize_head or None))
         if quantize else
         llama_mod.init_llama_params(k1, ucfg.llama, dtype=jnp.bfloat16),
         "clip": init_clip_params(k2, ucfg.clip, dtype=jnp.bfloat16),
@@ -317,6 +323,7 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         "device": str(jax.devices()[0]),
         "quantized_base": quantize, "remat_policy": remat_policy,
         "rng_impl": rng_impl, "a8_dots": a8_dots,
+        "quantized_head": quantize_head,
     }
 
 
@@ -340,6 +347,7 @@ def _mm_candidates():
         # (~89% eff. MFU); "full" adds the int8 backward cotangent on the
         # dX dots — 4,388 tok/s; quality anchored by exp_quant_quality.py
         # alongside the weight-only bases
+        "avt_7b_int4a8f_qh": (cfg7b, 4, 1024, 4, "qkvod_lse", "full", 8),
         "avt_7b_int4a8f_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse",
                                      "full"),
         "avt_7b_int4a8_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", True),
@@ -350,9 +358,12 @@ def _mm_candidates():
 
 
 def run_one_mm(name: str) -> None:
-    ucfg, b, L, quant, pol, a8 = _mm_candidates()[name]
+    v = _mm_candidates()[name]
+    ucfg, b, L, quant, pol, a8 = v[:6]
+    qh = v[6] if len(v) > 6 else False
     print(json.dumps(run_multimodal(name, ucfg, b, L, quant,
-                                    remat_policy=pol, a8_dots=a8)))
+                                    remat_policy=pol, a8_dots=a8,
+                                    quantize_head=qh)))
 
 
 def _candidates():
@@ -374,6 +385,13 @@ def _candidates():
         # dots ride the int8 path: 4,318 -> 5,023 (SwitchBack-style, dX
         # only — weights are frozen, no dW exists).  Quality anchored by
         # exp_quant_quality.py (a8 + a8f arms).
+        # + int8-quantized frozen lm_head: the chunked-CE scan re-reads the
+        # bf16 head ~3x per chunk per step (measured bandwidth-saturated,
+        # 2,608 GB/s); int8 halves the bytes and the a8 path runs the chunk
+        # dots int8 x int8 on the MXU.
+        "llama2_7b_int4a8_qh": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
+                                1024, 4, "proj_nokv_lse", True, "rbg", 256,
+                                "full", 8),
         "llama2_7b_int4a8": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                              1024, 4, "proj_nokv_lse", True, "rbg", 256,
                              "full"),
@@ -402,9 +420,11 @@ def run_one(name: str) -> None:
     v = _candidates()[name]
     cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
     a8 = v[8] if len(v) > 8 else False
+    qh = v[9] if len(v) > 9 else False
     print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
                          bf16_dots=bf16, rng_impl=rng_impl,
-                         question_window=qw or None, a8_dots=a8)))
+                         question_window=qw or None, a8_dots=a8,
+                         quantize_head=qh)))
 
 
 def main():

@@ -26,9 +26,11 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
     cfg = _candidates()[cfg_name][0]
     spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
     r1, r2 = jax.random.split(jax.random.key(0))
-    if "int8" in cfg_name:
+    if "int8" in cfg_name or "int4" in cfg_name:
         from moka_tpu.ops.quant import init_llama_params_quantized
-        base = init_llama_params_quantized(r1, cfg)
+        base = init_llama_params_quantized(
+            r1, cfg, bits=4 if "int4" in cfg_name else 8,
+            head_bits=8 if "qh" in cfg_name else None)
     else:
         base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     adapters = llama.init_moka_adapters(r2, cfg, spec)

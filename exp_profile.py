@@ -24,6 +24,7 @@ def run_and_trace(name: str) -> str:
     v = bench._candidates()[name]
     cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
     a8 = v[8] if len(v) > 8 else False
+    qh = v[9] if len(v) > 9 else False
     outdir = f"/tmp/moka_prof/{name}"
     os.makedirs(outdir, exist_ok=True)
 
@@ -47,7 +48,9 @@ def run_and_trace(name: str) -> str:
     if quant:
         from moka_tpu.ops.quant import init_llama_params_quantized
         bits = 8 if quant is True else int(quant)
-        frozen = init_llama_params_quantized(r1, cfg, bits=bits)
+        frozen = init_llama_params_quantized(
+            r1, cfg, bits=bits,
+            head_bits=(8 if qh is True else qh or None))
     else:
         frozen = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     trainable = {"adapters": llama.init_moka_adapters(r2, cfg, spec)}

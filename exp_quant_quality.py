@@ -100,15 +100,23 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     # int4a8 / int8a8: + per-token int8 activations on the base dots;
     # int4a8f / int8a8f: additionally int8-quantize the backward cotangent
     # so the dX dots also run on the MXU int8 path (quant.py bwd_a8="full")
-    if variant.endswith("a8f"):
-        a8, wq = "full", variant[:-3]
-    elif variant.endswith("a8"):
-        a8, wq = True, variant[:-2]
+    # trailing "qh": + int8-quantized frozen lm_head (the chunked-CE /
+    # logits head dot reads the quantized head; llama.head_logits)
+    head_bits = None
+    if variant.endswith("qh"):
+        head_bits, variant_core = 8, variant[:-2]
     else:
-        a8, wq = False, variant
+        variant_core = variant
+    if variant_core.endswith("a8f"):
+        a8, wq = "full", variant_core[:-3]
+    elif variant_core.endswith("a8"):
+        a8, wq = True, variant_core[:-2]
+    else:
+        a8, wq = False, variant_core
     if wq in ("int8", "int4"):
         from moka_tpu.ops.quant import quantize_llama_base
-        frozen = quantize_llama_base(base, bits=int(wq[3:]))
+        frozen = quantize_llama_base(base, bits=int(wq[3:]),
+                                     head_bits=head_bits)
         del base
     elif wq == "bf16":
         frozen = base
@@ -151,7 +159,8 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
 
 def main(scale: str):
     results = {}
-    for variant in ("bf16", "int8", "int4", "int4a8", "int8a8", "int4a8f"):
+    for variant in ("bf16", "int8", "int4", "int4a8", "int8a8", "int4a8f",
+                    "int4a8fqh"):
         proc = subprocess.run(
             [sys.executable, __file__, "--one", variant, "--scale", scale],
             capture_output=True, text=True, timeout=3600)
@@ -164,7 +173,8 @@ def main(scale: str):
     if "bf16" in results:
         ref = results["bf16"]["heldout_loss"]
         print(f"# held-out loss: bf16={ref:.4f}", file=sys.stderr)
-        for v in ("int8", "int4", "int4a8", "int8a8", "int4a8f"):
+        for v in ("int8", "int4", "int4a8", "int8a8", "int4a8f",
+                  "int4a8fqh"):
             if v in results:
                 h = results[v]["heldout_loss"]
                 print(f"#   {v}={h:.4f}  rel={(h - ref) / ref:+.2%}",

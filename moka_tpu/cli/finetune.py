@@ -49,6 +49,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=0, choices=[4, 8], metavar="BITS",
                    help="int8/int4 weight-only frozen base (QLoRA-style); "
                         "bare flag = int8; lets 7B fit one 16GB chip")
+    p.add_argument("--quantize-head", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="with --quantize-base: also quantize the frozen "
+                        "lm_head (the chunked-CE scan re-reads it ~3x per "
+                        "chunk per step; int8 halves that bandwidth and "
+                        "with --a8-dots the CE dot rides the MXU int8 "
+                        "path — flagship recipe, quality anchored by the "
+                        "int4a8fqh arm of exp_quant_quality.py)")
     p.add_argument("--model-preset",
                    choices=["7b", "13b", "34b", "70b", "tiny"], default="7b",
                    help="LLaMA base size ('tiny' = small random-init model "
@@ -146,6 +154,8 @@ def main(argv=None):
 
     if args.loftq_iters and not args.quantize_base:
         raise SystemExit("--loftq-iters requires --quantize-base")
+    if args.quantize_head and not args.quantize_base:
+        raise SystemExit("--quantize-head requires --quantize-base")
     loftq_adapters = None
 
     def _quantize_llama(bf16_tree):
@@ -157,9 +167,15 @@ def main(argv=None):
             qtree, loftq_adapters = loftq_init_moka_adapters(
                 bf16_tree, cfg.llama, spec, num_bits=args.quantize_base,
                 num_iter=args.loftq_iters)
+            if args.quantize_head:
+                from moka_tpu.ops.quant import quantize_int4, quantize_int8
+                hq = {8: quantize_int8, 4: quantize_int4}[args.quantize_head]
+                qtree = dict(qtree)
+                qtree["lm_head"] = hq(qtree["lm_head"], axis=-2)
             return qtree
         from moka_tpu.ops.quant import quantize_llama_base
-        return quantize_llama_base(bf16_tree, bits=args.quantize_base)
+        return quantize_llama_base(bf16_tree, bits=args.quantize_base,
+                                   head_bits=args.quantize_head or None)
 
     # frozen towers from reference checkpoints (random init if absent —
     # debug/smoke mode)
@@ -168,7 +184,8 @@ def main(argv=None):
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
                 imp.load_torch(args.llama_ckpt), cfg.llama,
-                bits=args.quantize_base)
+                bits=args.quantize_base,
+                head_bits=args.quantize_head or None)
         else:
             llama_params = imp.import_llama(
                 imp.load_torch(args.llama_ckpt), cfg.llama)

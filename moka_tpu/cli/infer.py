@@ -48,6 +48,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=0, choices=[4, 8], metavar="BITS",
                    help="int8/int4 weight-only frozen base (QLoRA-style); "
                         "bare flag = int8; lets 7B fit one 16GB chip")
+    p.add_argument("--quantize-head", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="with --quantize-base: also quantize the frozen "
+                        "lm_head (halves the per-decode-step head read; "
+                        "logits stay fp32 off the int32 accumulator)")
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b")
     p.add_argument("--continuous", action="store_true",
                    help="with --serve: continuous batching (slot-based "
@@ -154,7 +159,8 @@ def main(argv=None):
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
                 imp.load_torch(args.llama_ckpt), cfg.llama,
-                bits=args.quantize_base)
+                bits=args.quantize_base,
+                head_bits=args.quantize_head or None)
         else:
             llama_params = imp.import_llama(
                 imp.load_torch(args.llama_ckpt), cfg.llama)

@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=0, choices=[4, 8], metavar="BITS",
                    help="int8/int4 weight-only frozen LLaMA base "
                         "(QLoRA-style); bare flag = int8")
+    p.add_argument("--quantize-head", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="with --quantize-base: also quantize the frozen "
+                        "lm_head (halves chunked-CE head bandwidth)")
     p.add_argument("--remat-policy", default="auto",
                    help="per-layer remat policy (see llama._remat_policy); "
                         "'auto' = 'qkvod' (the tuned single-chip recipe)")
@@ -139,7 +143,8 @@ def main(argv=None):
             from moka_tpu.ops.quant import import_llama_quantized
             llama_params = import_llama_quantized(
                 imp.load_torch(args.llama_ckpt), cfg.llama,
-                bits=args.quantize_base)
+                bits=args.quantize_base,
+                head_bits=args.quantize_head or None)
         else:
             llama_params = imp.import_llama(imp.load_torch(args.llama_ckpt),
                                             cfg.llama)
@@ -156,8 +161,9 @@ def main(argv=None):
             else jnp.bfloat16)
         if args.quantize_base:
             from moka_tpu.ops.quant import quantize_llama_base
-            frozen["llama"] = quantize_llama_base(frozen["llama"],
-                                                  bits=args.quantize_base)
+            frozen["llama"] = quantize_llama_base(
+                frozen["llama"], bits=args.quantize_base,
+                head_bits=args.quantize_head or None)
     frozen = shardlib.shard_params(mesh, frozen,
                                    host_offload=args.host_offload)
     trainable = llava.init_trainable(jax.random.key(args.seed), cfg)

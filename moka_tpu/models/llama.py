@@ -434,11 +434,26 @@ def forward(base: dict, cfg: LlamaConfig, *,
 
     h = rmsnorm(h, base["final_norm"], cfg.rms_eps)
     if logits:
-        out = jnp.einsum("bld,dv->blv", h, base["lm_head"],
-                         preferred_element_type=jnp.float32)
+        out = head_logits(h, base["lm_head"])
     else:
         out = h
     return out, new_cache
+
+
+def head_logits(h: Array, lm_head, a8: bool | str = False) -> Array:
+    """fp32 logits = h @ lm_head for a plain or int8/int4-quantized head.
+
+    ``a8`` (quantized heads only) quantizes h per token and runs the dot on
+    the MXU int8 path (``qmatmul_a8``); "full" also quantizes the backward
+    cotangent.  Without a8, the dequant fuses into the dot operand."""
+    from moka_tpu.ops.quant import dequantize, is_quantized, qmatmul_a8
+    if is_quantized(lm_head):
+        if a8:
+            return qmatmul_a8(h, lm_head, bwd_a8=(a8 == "full"),
+                              out_dtype=jnp.float32)
+        lm_head = dequantize(lm_head, dtype=h.dtype)
+    return jnp.einsum("bld,dv->blv", h, lm_head,
+                      preferred_element_type=jnp.float32)
 
 
 def cross_entropy_loss(logits: Array, labels: Array,
@@ -456,14 +471,19 @@ def cross_entropy_loss(logits: Array, labels: Array,
     return jnp.sum(nll) / denom
 
 
-def chunked_cross_entropy(h: Array, lm_head: Array, labels: Array,
+def chunked_cross_entropy(h: Array, lm_head, labels: Array,
                           ignore_index: int = -100,
-                          chunk: int = 128) -> Array:
+                          chunk: int = 128,
+                          a8: bool | str = False) -> Array:
     """Shift-by-one CE fused with the lm_head projection, scanned over
     sequence chunks so the full fp32 (b, L, V) logits tensor never
     materializes (at the reference recipe's shapes that tensor is ~0.5 GB
     and pure HBM traffic).  Each chunk is rematerialized in the backward.
     Numerically identical to ``forward(logits=True)`` + cross_entropy_loss.
+
+    ``lm_head`` may be an int8/int4-quantized dict (``quantize_llama_base``
+    head_bits): the scan then re-reads half the head bytes, and with ``a8``
+    the chunk dots ride the MXU int8 path (``head_logits``).
     """
     b, L, d = h.shape
     h = h[:, :-1]
@@ -481,8 +501,7 @@ def chunked_cross_entropy(h: Array, lm_head: Array, labels: Array,
     @jax.checkpoint
     def one(carry, xs):
         hc, tc = xs
-        logits = jnp.einsum("bld,dv->blv", hc, lm_head,
-                            preferred_element_type=jnp.float32)
+        logits = head_logits(hc, lm_head, a8=a8)
         valid = tc != ignore_index
         safe = jnp.where(valid, tc, 0)
         logp = jax.nn.log_softmax(logits, axis=-1)

@@ -241,7 +241,8 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
             dropout_rng=rng if (spec and spec.dropout_rate > 0) else None)
         if fused_loss:
             loss = llama.chunked_cross_entropy(
-                out, frozen["llama"]["lm_head"], batch["labels"])
+                out, frozen["llama"]["lm_head"], batch["labels"],
+                a8=a8_dots)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         return loss, {"supervised_tokens":

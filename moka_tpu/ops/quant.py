@@ -112,7 +112,7 @@ def _a8_quantize(x: Array) -> tuple[Array, Array]:
     return q.astype(jnp.int8), sx
 
 
-def _a8_fwd_impl(x: Array, w: dict) -> Array:
+def _a8_fwd_impl(x: Array, w: dict, out_dtype=None) -> Array:
     xq, sx = _a8_quantize(x)
     if "w_i4" in w:
         lo, hi = unpack_int4(w["w_i4"])
@@ -125,10 +125,11 @@ def _a8_fwd_impl(x: Array, w: dict) -> Array:
         acc = jnp.einsum("bld,df->blf", xq, w["w_i8"],
                          preferred_element_type=jnp.int32)
     sw = w["scale"].reshape((1,) * (acc.ndim - 1) + (-1,))
-    return (acc.astype(jnp.float32) * sx * sw).astype(x.dtype)
+    return (acc.astype(jnp.float32) * sx * sw).astype(out_dtype or x.dtype)
 
 
-def qmatmul_a8(x: Array, w: dict, bwd_a8: bool = False) -> Array:
+def qmatmul_a8(x: Array, w: dict, bwd_a8: bool = False,
+               out_dtype=None) -> Array:
     """x @ w with the ACTIVATIONS dynamically quantized to int8 per token
     (W4A8 / W8A8): the dot runs int8 x int8 -> int32 on the MXU's int8 path
     (~1.5-2x the bf16 dot rate on v5e; measured 193 T/s vs 118 at the 7B
@@ -146,22 +147,28 @@ def qmatmul_a8(x: Array, w: dict, bwd_a8: bool = False) -> Array:
     per token to int8 so the dX dots also ride the MXU int8 path (the
     SwitchBack recipe restricted to dX — there is no dW here).  Gradient
     numerics change by O(1/127) per token; the 1B quality anchor bounds
-    the full-int8 arm end to end."""
-    return _qmatmul_a8(bwd_a8, x, w)
+    the full-int8 arm end to end.
+
+    ``out_dtype`` overrides the output dtype (default: x's dtype) — the
+    chunked-CE head dot wants fp32 logits straight off the int32
+    accumulator (no bf16 round-trip before the softmax)."""
+    return _qmatmul_a8(bwd_a8, out_dtype, x, w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _qmatmul_a8(bwd_a8: bool, x: Array, w: dict) -> Array:
-    return _a8_fwd_impl(x, w)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _qmatmul_a8(bwd_a8: bool, out_dtype, x: Array, w: dict) -> Array:
+    return _a8_fwd_impl(x, w, out_dtype)
 
 
-def _a8_vjp_fwd(bwd_a8, x, w):
-    return _a8_fwd_impl(x, w), (w,)
+def _a8_vjp_fwd(bwd_a8, out_dtype, x, w):
+    # zero-size sentinel carries x's dtype for the cotangent (g may be
+    # out_dtype, e.g. fp32 logits over a bf16 x)
+    return _a8_fwd_impl(x, w, out_dtype), (w, jnp.zeros((0,), x.dtype))
 
 
-def _a8_vjp_bwd(bwd_a8, res, g):
-    (w,) = res
-    xdtype = g.dtype  # output dtype == x dtype, so the cotangent carries it
+def _a8_vjp_bwd(bwd_a8, out_dtype, res, g):
+    (w, xd) = res
+    xdtype = xd.dtype
     sw = w["scale"].reshape((1,) * (g.ndim - 1) + (-1,))
     if bwd_a8:
         # per-token int8 on the scaled cotangent: sw varies along the
@@ -203,14 +210,24 @@ def _a8_vjp_bwd(bwd_a8, res, g):
 _qmatmul_a8.defvjp(_a8_vjp_fwd, _a8_vjp_bwd)
 
 
-def quantize_llama_base(base: dict, bits: int = 8) -> dict:
-    """Quantize the 7 projection families of a layer-stacked LLaMA tree."""
+def quantize_llama_base(base: dict, bits: int = 8,
+                        head_bits: int | None = None) -> dict:
+    """Quantize the 7 projection families of a layer-stacked LLaMA tree.
+
+    ``head_bits`` additionally quantizes the frozen lm_head (d, V) —
+    per-out-channel over d, same QLoRA class as the base: the chunked-CE
+    scan re-reads the 250 MB bf16 head ~3x per chunk per step, so halving
+    it (and riding the int8 MXU path via ``qmatmul_a8``) attacks the
+    measured bandwidth-saturated CE cost directly."""
     quant = {8: quantize_int8, 4: quantize_int4}[bits]
     layers = dict(base["layers"])
     for name in QUANT_KEYS:
         layers[name] = quant(base["layers"][name], axis=-2)
     out = dict(base)
     out["layers"] = layers
+    if head_bits:
+        hq = {8: quantize_int8, 4: quantize_int4}[head_bits]
+        out["lm_head"] = hq(base["lm_head"], axis=-2)
     return out
 
 
@@ -220,7 +237,8 @@ def quantized_bytes(tree) -> int:
                for x in jax.tree.leaves(tree))
 
 
-def init_llama_params_quantized(rng: Array, cfg, bits: int = 8) -> dict:
+def init_llama_params_quantized(rng: Array, cfg, bits: int = 8,
+                                head_bits: int | None = None) -> dict:
     """Random-init a llama base directly in quantized form, one projection
     family at a time with donated quantization — peak memory stays at
     quantized-size + one bf16 family, never the full bf16 tree (which would
@@ -241,19 +259,25 @@ def init_llama_params_quantized(rng: Array, cfg, bits: int = 8) -> dict:
         del w
     layers["attn_norm"] = jnp.ones((n, cfg.dim), jnp.bfloat16)
     layers["mlp_norm"] = jnp.ones((n, cfg.dim), jnp.bfloat16)
+    lm_head = jax.random.normal(next(keys), (cfg.dim, cfg.vocab_size),
+                                jnp.bfloat16) * 0.02
+    if head_bits:
+        hq = jax.jit({8: quantize_int8, 4: quantize_int4}[head_bits],
+                     donate_argnums=0)
+        lm_head = jax.block_until_ready(hq(lm_head))
     return {
         "embed": jax.random.normal(next(keys), (cfg.vocab_size, cfg.dim),
                                    jnp.bfloat16) * 0.02,
         "layers": layers,
         "final_norm": jnp.ones((cfg.dim,), jnp.bfloat16),
-        "lm_head": jax.random.normal(next(keys), (cfg.dim, cfg.vocab_size),
-                                     jnp.bfloat16) * 0.02,
+        "lm_head": lm_head,
     }
 
 
-def import_llama_quantized(sd: dict, cfg, bits: int = 8) -> dict:
+def import_llama_quantized(sd: dict, cfg, bits: int = 8,
+                           head_bits: int | None = None) -> dict:
     """Checkpoint import straight to int8/int4 (no full bf16 tree held)."""
     from moka_tpu.train.import_torch import import_llama
 
     base = import_llama(sd, cfg, dtype=jnp.bfloat16)  # host->device per leaf
-    return quantize_llama_base(base, bits=bits)
+    return quantize_llama_base(base, bits=bits, head_bits=head_bits)

@@ -37,9 +37,14 @@ RULES: list[tuple[str, P]] = [
     (r".*layers/(o|down)/w_i[84]$",         P(None, "model", "fsdp")),
     (r".*layers/(o|down)/scale$",           P(None, None, "fsdp")),
     (r".*layers/(attn_norm|mlp_norm)$", P(None, None)),
-    (r".*/embed$",                P(None, "fsdp")),
-    (r".*/lm_head$",              P("fsdp", "model")),
-    (r".*/final_norm$",           P(None)),
+    # (.*/)? — these leaves sit at the tree root when the llama dict is
+    # sharded bare (paths like "lm_head"), under a prefix otherwise
+    (r"(.*/)?embed$",             P(None, "fsdp")),
+    (r"(.*/)?lm_head$",           P("fsdp", "model")),
+    # quantized lm_head: (d, V) int weight + (1, V) per-out-channel scale
+    (r"(.*/)?lm_head/w_i[84]$",   P("fsdp", "model")),
+    (r"(.*/)?lm_head/scale$",     P(None, "model")),
+    (r"(.*/)?final_norm$",        P(None)),
     # --- adapters: replicated (a few MB total) ---
     (r".*adapters.*",             P()),
     # --- encoders / projectors: replicated by default ---

@@ -317,8 +317,11 @@ def export_vt_full_state_dict(trainable: dict, frozen: dict, cfg) -> dict:
     lm = f"{inner}language_model."
     sd[f"{lm}embed_tokens.weight"] = np.asarray(base["embed"], np.float32)
     sd[f"{lm}norm.weight"] = np.asarray(base["final_norm"], np.float32)
+    lm_w = base["lm_head"]
+    if is_quantized(lm_w):  # head-quantized training tree: export dequant
+        lm_w = dequantize(lm_w, dtype="float32")
     sd[f"{root}lm_head.weight"] = np.ascontiguousarray(
-        np.asarray(base["lm_head"], np.float32).T)
+        np.asarray(lm_w, np.float32).T)
     group = {"q": "self_attn.q_proj", "k": "self_attn.k_proj",
              "v": "self_attn.v_proj", "o": "self_attn.o_proj",
              "gate": "mlp.gate_proj", "up": "mlp.up_proj",

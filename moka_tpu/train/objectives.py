@@ -50,7 +50,7 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
                                                batch["labels"],
-                                               chunk=ce_chunk)
+                                               chunk=ce_chunk, a8=a8_dots)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         ntok = jnp.sum(batch["labels"] != -100)

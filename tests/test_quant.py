@@ -245,3 +245,77 @@ def test_a8_dots_train_step_close_and_trains():
             losses.append(float(m["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] - 0.1, losses[::6]
+
+
+def test_quantized_head_ce_and_logits_parity():
+    """int8/int4-quantized frozen lm_head (quantize_llama_base head_bits):
+    chunked CE loss and dL/dh stay close to the bf16 head on every a8
+    variant, and forward(logits=True) consumes the quantized head."""
+    rng = np.random.default_rng(0)
+    b, L, d, V = 2, 32, 16, 96
+    h = jnp.asarray(rng.normal(size=(b, L, d)), jnp.bfloat16)
+    W = jnp.asarray(rng.normal(size=(d, V)) * 0.05, jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, V, (b, L)), jnp.int32)
+    labels = labels.at[:, :5].set(-100)
+
+    from moka_tpu.ops.quant import quantize_int4
+    ref = float(llama.chunked_cross_entropy(h, W, labels, chunk=8))
+    g_ref = jax.grad(lambda x: llama.chunked_cross_entropy(
+        x, W, labels, chunk=8))(h.astype(jnp.float32))
+    for qw, tol in ((quantize_int8(W, axis=-2), 0.01),
+                    (quantize_int4(W, axis=-2), 0.05)):
+        for a8 in (False, True, "full"):
+            got = float(llama.chunked_cross_entropy(h, qw, labels, chunk=8,
+                                                    a8=a8))
+            assert abs(got - ref) / ref < tol, (a8, ref, got)
+            g = jax.grad(lambda x: llama.chunked_cross_entropy(
+                x, qw, labels, chunk=8, a8=a8))(h.astype(jnp.float32))
+            rel = float(jnp.linalg.norm(g - g_ref) / jnp.linalg.norm(g_ref))
+            assert rel < 10 * tol, (a8, rel)
+
+    # full-model logits path with a head-quantized tree
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    qbase = quantize_llama_base(base, bits=4, head_bits=8)
+    toks = jnp.arange(32).reshape(2, 16) % 64
+    full, _ = llama.forward(base, CFG, tokens=toks)
+    quant, _ = llama.forward(qbase, CFG, tokens=toks)
+    assert quant.dtype == jnp.float32
+    agree = np.mean(np.asarray(jnp.argmax(full, -1) == jnp.argmax(quant, -1)))
+    assert agree > 0.9, agree
+
+
+def test_quantized_head_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    from moka_tpu.parallel.sharding import spec_for_path
+    assert spec_for_path("llama/lm_head/w_i8", 2) == P("fsdp", "model")
+    assert spec_for_path("llama/lm_head/w_i4", 2) == P("fsdp", "model")
+    assert spec_for_path("llama/lm_head/scale", 2) == P(None, "model")
+    # tree-root paths (the llama dict sharded bare, e.g. the dryrun)
+    assert spec_for_path("lm_head/w_i8", 2) == P("fsdp", "model")
+    assert spec_for_path("lm_head", 2) == P("fsdp", "model")
+    assert spec_for_path("embed", 2) == P(None, "fsdp")
+
+
+def test_quantized_head_train_step():
+    """Adapter training over a head-quantized base converges (the CE
+    backward flows dL/dh through the int8 head dot)."""
+    base = llama.init_llama_params(jax.random.key(1), CFG, dtype=jnp.float32)
+    qbase = quantize_llama_base(base, bits=4, head_bits=8)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(4, 64, (2, 16)), jnp.int32)
+    batch = {"tokens": toks, "labels": toks}
+    trainable = {"adapters": llama.init_moka_adapters(jax.random.key(2),
+                                                      CFG, SPEC)}
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=30)
+    loss = make_llama_moka_loss(CFG, SPEC, remat=True, fused_loss=True,
+                                ce_chunk=8, a8_dots="full")
+    step = make_train_step(loss, tx)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, qbase, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::6]

@@ -20,7 +20,8 @@ STEPS = 100
 @pytest.fixture(scope="module")
 def runs():
     return {v: run_variant(v, "tiny", steps=STEPS)
-            for v in ("bf16", "int8", "int4", "int4a8", "int4a8f")}
+            for v in ("bf16", "int8", "int4", "int4a8", "int4a8f",
+                      "int4a8fqh")}
 
 
 def test_training_actually_learns(runs):
@@ -61,6 +62,17 @@ def test_int4a8f_within_band_of_bf16(runs):
     cotangent for the dX dots must keep the training dynamics inside the
     same band as the weight-only/STE arms."""
     ref, q = runs["bf16"], runs["int4a8f"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.02, (i, a, b)
+
+
+def test_int4a8fqh_within_band_of_bf16(runs):
+    """Quantized lm_head (flagship recipe): the int8 head changes the CE
+    logits themselves, not just hidden-state numerics — the full recipe
+    (int4 base + a8 fwd/bwd dots + int8 head) must stay in the int4 band."""
+    ref, q = runs["bf16"], runs["int4a8fqh"]
     assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
         ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
     for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
