@@ -197,7 +197,8 @@ def main(argv=None):
                 batch = collate_vt(batch_items, tok.pad_id,
                                    pad_to=args.pad_to,
                                    max_question_tokens=args.question_window
-                                   or None)
+                                   or None,
+                                   question_overflow="disable")
                 for s, p in zip(batch_items, pix):
                     s["pixel_values"] = p
                 batch["pixel_values"] = pix

@@ -32,6 +32,10 @@ import numpy as np
 
 IGNORE = -100
 
+
+class QuestionWindowOverflow(ValueError):
+    """A question span exceeds the configured rank-attention window."""
+
 SPECIAL_TOKENS = ["<image>", "<image_start>", "<image_end>",
                   "<video>", "<video_start>", "<video_end>",
                   "<audio>", "<audio_start>", "<audio_end>",
@@ -53,28 +57,50 @@ class AssembledSample:
     audio_pos: np.ndarray      # (n_audio,)
 
 
-def _check_question_extent(qm: np.ndarray, kq: int) -> None:
-    """Fail fast when the question span cannot fit a kq-token rank-attention
-    window (``MokaSpec.with_question_window``).  The correctness condition is
+def _check_question_extent(qm: np.ndarray, kq: int,
+                           on_overflow: str = "raise") -> bool:
+    """Guard a question span against a kq-token rank-attention window
+    (``MokaSpec.with_question_window``).  The correctness condition is
     the span EXTENT — last flagged position - first + 1 — since the windowed
     attention gathers kq contiguous positions anchored at the first one
-    (interior unflagged positions stay masked, so extent <= kq is exact)."""
+    (interior unflagged positions stay masked, so extent <= kq is exact).
+
+    ``on_overflow``:
+      * ``"raise"`` (eval/parity paths): fail fast — a silently truncated
+        key set would corrupt checkpoint-parity evals.
+      * ``"disable"`` (training): log a warning and return True; the caller
+        zeroes the sample's question mask, which the rank attention's
+        no-question guard (``ops/moka.py:181-182``) turns into an EXACT
+        zero cross-attention term for that sample — the outlier trains
+        through the per-modality LoRA paths only, and one long question at
+        step 90k cannot abort the run.
+    Returns True when the span overflows (and on_overflow permits it).
+    """
     idx = np.nonzero(qm > 0)[0]
     if len(idx) == 0:
-        return
+        return False
     extent = int(idx[-1] - idx[0] + 1)
-    if extent > kq:
-        raise ValueError(
-            f"question span extent of {extent} tokens exceeds the "
-            f"configured rank-attention window ({kq}); raise "
-            f"--question-window or shorten the prompt")
+    if extent <= kq:
+        return False
+    if on_overflow == "disable":
+        import logging
+        logging.getLogger(__name__).warning(
+            "question span extent %d exceeds the rank-attention window %d; "
+            "disabling the cross-attention term for this sample "
+            "(question mask zeroed)", extent, kq)
+        return True
+    raise QuestionWindowOverflow(
+        f"question span extent of {extent} tokens exceeds the "
+        f"configured rank-attention window ({kq}); raise "
+        f"--question-window or shorten the prompt")
 
 
 def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
                     token_to_id: dict, pad_id: int,
                     n_video_tokens: int = 0,
                     n_audio_tokens: int = 0,
-                    max_question_tokens: int | None = None) -> AssembledSample:
+                    max_question_tokens: int | None = None,
+                    question_overflow: str = "raise") -> AssembledSample:
     """Host-side walk mirroring ``prepare_multimodal_inputs`` for one sample.
 
     ``n_video_tokens``/``n_audio_tokens`` are the projector output lengths
@@ -82,7 +108,9 @@ def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
     ``max_question_tokens``: when the model runs with a rank-attention
     question window (``MokaSpec.with_question_window``), pass the same bound
     here — a question span exceeding it would be silently truncated by the
-    attention, so assembly fails fast instead."""
+    attention.  ``question_overflow``: ``"raise"`` fails fast (eval/parity);
+    ``"disable"`` (training) zeroes the sample's question mask instead —
+    see ``_check_question_extent``."""
     id_to_key = {token_to_id[k]: k for k in MARKER_KEYS if k in token_to_id}
     out_ids, out_labels = [], []
     tm, vm, am, qm = [], [], [], []
@@ -124,7 +152,9 @@ def assemble_sample(input_ids: np.ndarray, labels: np.ndarray,
     text_seg(input_ids[pre:], labels[pre:], is_question=False)
 
     if max_question_tokens is not None:
-        _check_question_extent(np.asarray(qm), max_question_tokens)
+        if _check_question_extent(np.asarray(qm), max_question_tokens,
+                                  question_overflow):
+            qm = [0] * len(qm)
 
     return AssembledSample(
         ids=np.asarray(out_ids, np.int32),

@@ -199,7 +199,11 @@ class UnifiedDataset:
                 ids, labels, self.tok.token_to_id, self.tok.pad_id,
                 n_video_tokens=self.n_video_tokens,
                 n_audio_tokens=self.n_audio_tokens,
-                max_question_tokens=self.max_question_tokens))
+                max_question_tokens=self.max_question_tokens,
+                # training degrades an overflowing sample to no-cross-attn
+                # instead of aborting the run; eval keeps the parity raise
+                question_overflow=("disable" if self.mode == "train"
+                                   else "raise")))
         batch = asm.pad_batch(assembled, self.tok.pad_id, pad_to=pad_to)
         batch["video"] = np.stack([it["video"] for it in items])
         batch["audio"] = np.stack([it["audio"] for it in items])

@@ -52,13 +52,16 @@ def build_vt_sample(input_ids: np.ndarray, labels: np.ndarray,
 
 def collate_vt(samples: list[dict], pad_id: int,
                pad_to: int | None = None,
-               max_question_tokens: int | None = None) -> dict:
+               max_question_tokens: int | None = None,
+               question_overflow: str = "raise") -> dict:
     """RIGHT-pad (train.py:267-318) with shared arange positions.
 
     ``max_question_tokens`` mirrors ``MokaSpec.max_question_tokens``: fail
     at collation rather than silently truncate the rank-attention key set
     (the VT span is the non-image unsupervised tail after the last image
-    token, which can be long for verbose prompts)."""
+    token, which can be long for verbose prompts).  ``question_overflow``
+    = "disable" (training) zeroes the offending sample's question mask
+    instead of raising — see ``assembler._check_question_extent``."""
     max_len = max(len(s["ids"]) for s in samples)
     L = pad_to if pad_to is not None else max_len
     if L < max_len:
@@ -81,10 +84,13 @@ def collate_vt(samples: list[dict], pad_id: int,
         out["attn_mask"][i, :n] = 1
         out["text_mask"][i, :n] = s["text_mask"]
         out["image_mask"][i, :n] = s["image_mask"]
-        out["question_mask"][i, :n] = s["question_mask"]
+        qm = s["question_mask"]
         if max_question_tokens is not None:
             from moka_tpu.data.assembler import _check_question_extent
-            _check_question_extent(s["question_mask"], max_question_tokens)
+            if _check_question_extent(qm, max_question_tokens,
+                                      question_overflow):
+                qm = np.zeros_like(qm)
+        out["question_mask"][i, :n] = qm
         if len(s["image_pos"]) != n_img:
             raise ValueError("image token count must be static per batch")
         out["image_pos"][i] = s["image_pos"]

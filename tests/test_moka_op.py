@@ -308,3 +308,46 @@ def test_assembler_question_window_guard():
     with pytest.raises(ValueError, match="question span"):
         asm.assemble_sample(np.asarray(ids), np.asarray(labels), t2i,
                             pad_id=0, max_question_tokens=9)
+
+
+def test_assembler_question_overflow_disable():
+    """Training fallback: question_overflow='disable' zeroes the sample's
+    question mask (exact no-cross-attn via the has_q guard) instead of
+    aborting; everything else (ids/labels/masks) is untouched."""
+    from moka_tpu.data import assembler as asm
+    t2i = {t: 100 + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    ids = ([5, 6] + [t2i["<question_start>"]] + [7] * 10
+           + [t2i["<question_end>"]] + [8, 9])
+    labels = [-100] * (len(ids) - 2) + [8, 9]
+    soft = asm.assemble_sample(np.asarray(ids), np.asarray(labels), t2i,
+                               pad_id=0, max_question_tokens=9,
+                               question_overflow="disable")
+    assert int(soft.question_mask.sum()) == 0
+    ref = asm.assemble_sample(np.asarray(ids), np.asarray(labels), t2i,
+                              pad_id=0)
+    np.testing.assert_array_equal(soft.ids, ref.ids)
+    np.testing.assert_array_equal(soft.labels, ref.labels)
+    np.testing.assert_array_equal(soft.text_mask, ref.text_mask)
+
+
+def test_vt_collate_question_overflow_disable():
+    """collate_vt train fallback zeroes only the overflowing sample's
+    question mask; the others keep theirs."""
+    import pytest as _pytest
+    from moka_tpu.data.vt_dataset import build_vt_sample, collate_vt
+    img_id, pad_id, n_img = 3, 0, 2
+    def make(q_len):
+        # [inst tokens][img][img][question tail (unsupervised)][answer]
+        ids = np.asarray([5, 6, img_id, img_id] + [7] * q_len + [8, 9],
+                         np.int64)
+        labels = np.full(len(ids), -100, np.int64)
+        labels[-2:] = [8, 9]
+        return build_vt_sample(ids, labels, img_id, pad_id,
+                               num_image_tokens=n_img)
+    short, long_ = make(3), make(12)
+    with _pytest.raises(ValueError, match="question span"):
+        collate_vt([short, long_], pad_id, max_question_tokens=8)
+    batch = collate_vt([short, long_], pad_id, max_question_tokens=8,
+                       question_overflow="disable")
+    assert batch["question_mask"][0].sum() == 3
+    assert batch["question_mask"][1].sum() == 0
