@@ -14,7 +14,7 @@ import numpy as np
 
 
 def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
-         new_tokens: int = 128, paged: bool = False):
+         new_tokens: int = 128, paged: bool = False, kv_quant: bool = False):
     import jax
     import jax.numpy as jnp
     from bench import _candidates, _enable_compile_cache
@@ -52,7 +52,7 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
             base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
             prompt_mask=pmask, masks=masks, max_new_tokens=new_tokens,
             eos_id=10 ** 9, pad_id=0, paged_decode=paged,
-            use_flash=True)
+            use_flash=True, kv_quant=kv_quant)
 
     np.asarray(run_once())  # compile + run (block_until_ready is
     # unreliable through the axon tunnel; a host transfer is not)
@@ -69,7 +69,7 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
         "unit": "tokens/s",
         "detail": {"config": cfg_name, "batch": batch,
                    "prompt_len": prompt_len, "new_tokens": new_tokens,
-                   "paged_decode": paged,
+                   "paged_decode": paged, "kv_quant": kv_quant,
                    "e2e_s": dt,
                    "e2e_tokens_per_sec":
                        batch * (prompt_len + new_tokens) / dt},
@@ -78,7 +78,7 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
 
 def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
                 n_requests: int = 24, prompt_len: int = 256,
-                new_tokens: int = 64):
+                new_tokens: int = 64, kv_quant: bool = False):
     """Continuous-batching serving bench: a stream of requests with RAGGED
     generation lengths (16..2*new_tokens, the regime continuous batching
     exists for) through the DecodeEngine (mid-stream admission, slot reuse)
@@ -97,7 +97,13 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
     cfg = _candidates()[cfg_name][0]
     spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
     r1, r2 = jax.random.split(jax.random.key(0))
-    base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
+    if "int8" in cfg_name or "int4" in cfg_name:
+        from moka_tpu.ops.quant import init_llama_params_quantized
+        base = init_llama_params_quantized(
+            r1, cfg, bits=4 if "int4" in cfg_name else 8,
+            head_bits=8 if "qh" in cfg_name else None)
+    else:
+        base = llama.init_llama_params(r1, cfg, dtype=jnp.bfloat16)
     adapters = llama.init_moka_adapters(r2, cfg, spec)
 
     rng = np.random.default_rng(0)
@@ -113,7 +119,7 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
                            n_slots=n_slots,
                            cache_capacity=prompt_len + 4 * new_tokens,
                            eos_id=10 ** 9, use_flash=True,
-                           steps_per_dispatch=k)
+                           steps_per_dispatch=k, kv_quant=kv_quant)
         waiters = [eng.submit(e, m, max_new_tokens=b)
                    for (e, m), b in zip(reqs, budgets)]
         eng.run_until_drained()
@@ -130,7 +136,8 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
                 base, adapters, cfg=cfg, spec=spec, inputs_embeds=embeds,
                 prompt_mask=pmask, masks=None,
                 max_new_tokens=max(budgets[i:i + n_slots]),
-                eos_id=10 ** 9, pad_id=0, use_flash=True))
+                eos_id=10 ** 9, pad_id=0, use_flash=True,
+                kv_quant=kv_quant))
             total += sum(budgets[i:i + n_slots])
         return total
 
@@ -154,13 +161,16 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
         "unit": "tokens/s",
         "detail": {"config": cfg_name, "n_slots": n_slots,
                    "n_requests": n_requests, "prompt_len": prompt_len,
-                   "new_tokens": new_tokens, **results},
+                   "new_tokens": new_tokens, "kv_quant": kv_quant,
+                   **results},
     }))
 
 
 if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     if "--engine" in sys.argv:
-        main_engine(pos[0] if pos else "llama_3b")
+        main_engine(pos[0] if pos else "llama_3b",
+                    kv_quant="--kv-quant" in sys.argv)
     else:
-        main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv)
+        main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv,
+             kv_quant="--kv-quant" in sys.argv)

@@ -48,14 +48,15 @@ def paged_decode_auto(cfg: LlamaConfig, capacity: int) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "max_new_tokens",
-                                             "eos_id", "pad_id",
-                                             "use_flash", "paged_decode"))
+                                             "eos_id", "pad_id", "use_flash",
+                                             "paged_decode", "kv_quant"))
 def _greedy_generate(base: dict, adapters: dict | None, *,
                      cfg: LlamaConfig, spec: MokaSpec | None,
                      inputs_embeds: Array, prompt_mask: Array,
                      masks: llama.MaskBundle | None,
                      max_new_tokens: int, eos_id: int, pad_id: int = 0,
                      use_flash: bool = False, paged_decode: bool = False,
+                     kv_quant: bool = False,
                      sample_rng: Array | None = None,
                      temperature: Array | None = None,
                      top_k: Array | None = None,
@@ -74,7 +75,8 @@ def _greedy_generate(base: dict, adapters: dict | None, *,
         # (invalid tail slots are masked by cache_mask/length)
         S = -(-S // 256) * 256
 
-    cache = llama.init_kv_cache(cfg, b, S, dtype=inputs_embeds.dtype)
+    cache = llama.init_kv_cache(cfg, b, S, dtype=inputs_embeds.dtype,
+                                quantized=kv_quant)
     # mask covers the FULL allocation (S may exceed L+max_new_tokens when
     # rounded up for the paged kernel; the tail stays masked off)
     cache_mask = jnp.pad(prompt_mask, ((0, 0), (0, S - L)))
@@ -118,7 +120,8 @@ def greedy_generate(base: dict, adapters: dict | None, *,
                     masks: llama.MaskBundle | None,
                     max_new_tokens: int, eos_id: int, pad_id: int = 0,
                     use_flash: bool | None = None,
-                    paged_decode: bool | None = None):
+                    paged_decode: bool | None = None,
+                    kv_quant: bool = False):
     """Greedy decode (the eval drivers all use greedy generate —
     ``mmbench.py:641``, ``inference_cut.py:66``).
 
@@ -137,6 +140,9 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         caches).  ``None`` = auto via ``paged_decode_auto`` — the same
         measured capacity/model-size gate the serving engine uses (the
         block loop only pays where the cache read dominates the step).
+      kv_quant: store the KV cache int8 with per-(token, head) scales
+        (``llama.init_kv_cache(quantized=True)``) — halves cache HBM
+        traffic per decode step at the cost of quantizing k/v on write.
       Returns (b, max_new_tokens) int32 tokens, pad_id after eos.
     """
     if use_flash is None:
@@ -148,7 +154,7 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
         prompt_mask=prompt_mask, masks=masks,
         max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
-        use_flash=use_flash, paged_decode=paged_decode)
+        use_flash=use_flash, paged_decode=paged_decode, kv_quant=kv_quant)
 
 
 def sample_generate(base: dict, adapters: dict | None, *,
@@ -161,7 +167,8 @@ def sample_generate(base: dict, adapters: dict | None, *,
                     top_k: Array | int = 0,
                     top_p: Array | float = 1.0,
                     use_flash: bool | None = None,
-                    paged_decode: bool | None = None):
+                    paged_decode: bool | None = None,
+                    kv_quant: bool = False):
     """Stochastic decode: temperature / top-k / top-p per sample.
 
     Mirrors the reference's HF ``generate(do_sample=True)`` path (its forked
@@ -187,7 +194,7 @@ def sample_generate(base: dict, adapters: dict | None, *,
         base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
         prompt_mask=prompt_mask, masks=masks,
         max_new_tokens=max_new_tokens, eos_id=eos_id, pad_id=pad_id,
-        use_flash=use_flash, paged_decode=paged_decode,
+        use_flash=use_flash, paged_decode=paged_decode, kv_quant=kv_quant,
         sample_rng=rng if rng is not None else jax.random.key(0),
         temperature=bc(temperature, jnp.float32),
         top_k=bc(top_k, jnp.int32), top_p=bc(top_p, jnp.float32))

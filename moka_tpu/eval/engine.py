@@ -54,21 +54,24 @@ Array = jax.Array
 # ---------------------------------------------------------------- jitted ops
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "use_flash",
-                                             "cache_dtype"))
+                                             "cache_dtype", "kv_quant"))
 def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
              inputs_embeds: Array, prompt_mask: Array,
              masks: llama.MaskBundle | None,
              rng: Array, temperature: Array, top_k: Array, top_p: Array,
-             use_flash: bool = False, cache_dtype=jnp.bfloat16):
+             use_flash: bool = False, cache_dtype=jnp.bfloat16,
+             kv_quant: bool = False):
     """Batched prefill into fresh lane caches sized to the prompt bucket.
 
     inputs_embeds (n, Lp, d): one or more queued requests sharing a bucket
     (admission groups them — one dispatch instead of n).  The first token is
     sampled per request (temperature == 0 rows take the argmax).
-    Returns (first tokens (n,), lane_k/lane_v (layers, n, Lp, K, hd))."""
+    Returns (first tokens (n,), lane_k/lane_v (layers, n, Lp, K, hd) — or
+    int8 ``{"q", "s"}`` dicts when ``kv_quant``)."""
     from moka_tpu.eval.sampling import sample_tokens
     n, Lp, _ = inputs_embeds.shape
-    cache = llama.init_kv_cache(cfg, n, Lp, dtype=cache_dtype)
+    cache = llama.init_kv_cache(cfg, n, Lp, dtype=cache_dtype,
+                                quantized=kv_quant)
     pos = jnp.maximum(jnp.cumsum(prompt_mask, axis=-1) - 1, 0)
     logits, cache = llama.forward(
         base, cfg, adapters=adapters, spec=spec,
@@ -84,22 +87,23 @@ def _prefill(base, adapters, *, cfg: LlamaConfig, spec: MokaSpec | None,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _insert(gk: Array, gv: Array, amask: Array, lanes_k: Array,
-            lanes_v: Array, lane_masks: Array, slots: Array):
+def _insert(gk, gv, amask: Array, lanes_k, lanes_v,
+            lane_masks: Array, slots: Array):
     """Write n prefilled lanes into the global cache in ONE dispatch.
 
-    lanes_k/v are (layers, n, Lp, K, hd) with Lp <= S; each lane row beyond
-    Lp is zeroed (mask cleared) so stale cells from the previous occupant
-    never leak into attention.  The n-loop unrolls at trace time (n <=
-    n_slots); one executable per (n, Lp) admission-group shape."""
-    S = gk.shape[2]
-    Lp = lanes_k.shape[2]
+    lanes_k/v are (layers, n, Lp, K, hd) with Lp <= S — or int8 cache dicts
+    whose leaves have that layout; each lane row beyond Lp is zeroed (mask
+    cleared) so stale cells from the previous occupant never leak into
+    attention.  The n-loop unrolls at trace time (n <= n_slots); one
+    executable per (n, Lp) admission-group shape."""
+    S = llama.kv_cache_shape({"k": gk})[2]
+    Lp = llama.kv_cache_shape({"k": lanes_k})[2]
     pad = ((0, 0), (0, S - Lp), (0, 0), (0, 0))
     for i in range(slots.shape[0]):
-        gk = jax.lax.dynamic_update_index_in_dim(
-            gk, jnp.pad(lanes_k[:, i], pad), slots[i], axis=1)
-        gv = jax.lax.dynamic_update_index_in_dim(
-            gv, jnp.pad(lanes_v[:, i], pad), slots[i], axis=1)
+        put = lambda g, lane: jax.lax.dynamic_update_index_in_dim(
+            g, jnp.pad(lane[:, i], pad), slots[i], axis=1)
+        gk = jax.tree.map(put, gk, lanes_k)
+        gv = jax.tree.map(put, gv, lanes_v)
         amask = jax.lax.dynamic_update_index_in_dim(
             amask, jnp.pad(lane_masks[i], ((0, S - Lp),)), slots[i], axis=0)
     return gk, gv, amask
@@ -182,7 +186,7 @@ def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _compact(gk: Array, gv: Array, amask: Array):
+def _compact(gk, gv, amask: Array):
     """Gather each lane's valid cells to the front of its row.
 
     Returns (gk, gv, amask, new_cur) with new_cur = max lane occupancy."""
@@ -190,8 +194,9 @@ def _compact(gk: Array, gv: Array, amask: Array):
     # stable argsort of ~valid puts valid cell indices first, in order
     order = jnp.argsort(1 - amask, axis=1, stable=True)  # (slots, S)
     idx = order[None, :, :, None, None]
-    gk = jnp.take_along_axis(gk, idx, axis=2)
-    gv = jnp.take_along_axis(gv, idx, axis=2)
+    gather = lambda g: jnp.take_along_axis(g, idx, axis=2)
+    gk = jax.tree.map(gather, gk)
+    gv = jax.tree.map(gather, gv)
     counts = jnp.sum(amask, axis=1).astype(jnp.int32)
     amask = (jnp.arange(S)[None, :] < counts[:, None]).astype(amask.dtype)
     return gk, gv, amask, jnp.max(counts)
@@ -247,7 +252,8 @@ class DecodeEngine:
                  pad_id: int = 0, use_flash: bool | None = None,
                  paged_decode: bool | None = None,
                  steps_per_dispatch: int = 1,
-                 cache_dtype=jnp.bfloat16, sample_seed: int = 0):
+                 cache_dtype=jnp.bfloat16, kv_quant: bool = False,
+                 sample_seed: int = 0):
         self.base, self.adapters = base, adapters
         self.cfg, self.spec = cfg, spec
         self.n_slots, self.S = n_slots, cache_capacity
@@ -267,8 +273,12 @@ class DecodeEngine:
         self.steps_per_dispatch = steps_per_dispatch
 
         self.cache_dtype = cache_dtype
+        # int8 cache: halves per-step cache HBM reads (the decode bound at
+        # 7B — PERFORMANCE.md); lanes quantize k/v on write, every consumer
+        # (insert/compact/step/paged kernel) handles the {"q","s"} layout
+        self.kv_quant = kv_quant
         cache = llama.init_kv_cache(cfg, n_slots, cache_capacity,
-                                    dtype=cache_dtype)
+                                    dtype=cache_dtype, quantized=kv_quant)
         self.gk, self.gv = cache["k"], cache["v"]
         self.amask = jnp.zeros((n_slots, cache_capacity), jnp.float32)
         self.cur = 0                       # next shared write cell
@@ -422,7 +432,7 @@ class DecodeEngine:
                 top_k=jnp.asarray([r.top_k for r in group], jnp.int32),
                 top_p=jnp.asarray([r.top_p for r in group], jnp.float32),
                 use_flash=self.use_flash,
-                cache_dtype=self.cache_dtype)
+                cache_dtype=self.cache_dtype, kv_quant=self.kv_quant)
             toks = np.asarray(toks)
             slots = [free.pop(0) for _ in group]
             self.gk, self.gv, self.amask = _insert(

@@ -187,13 +187,11 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     k = apply_rope(k, cos, sin)
 
     if cache_k is not None and layer_idx is not None:
-        # full-cache in-place write + per-layer read
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k[None].astype(cache_k.dtype),
-            (layer_idx, 0, cache_index, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v[None].astype(cache_v.dtype),
-            (layer_idx, 0, cache_index, 0, 0))
+        # full-cache in-place write + per-layer read (int8 caches quantize
+        # the new k/v on the fly — _kv_update)
+        start = (layer_idx, 0, cache_index, 0, 0)
+        cache_k = _kv_update(cache_k, k, start)
+        cache_v = _kv_update(cache_v, v, start)
         if paged_decode and L == 1:
             # length-aware Pallas kernel: reads only valid cache blocks
             from moka_tpu.ops.paged_decode import paged_decode_attention
@@ -207,12 +205,11 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
             act = jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up
             h = h + proj("down", x=act, base_w=layer["down"])
             return h, cache_k, cache_v
-        k_all = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
-                                             keepdims=False)
-        v_all = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
-                                             keepdims=False)
+        k_all = _kv_layer(cache_k, layer_idx, q.dtype)
+        v_all = _kv_layer(cache_v, layer_idx, q.dtype)
     elif cache_k is not None:
         # write current k/v into the cache at [cache_index, cache_index+L)
+        # (legacy per-layer path; plain caches only)
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
@@ -317,10 +314,62 @@ def _remat_policy(name: str | None):
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> dict:
+                  dtype=jnp.bfloat16, quantized: bool = False) -> dict:
+    """``quantized=True`` stores the cache int8 with per-(token, head) fp32
+    scales — 2x fewer cache bytes read per decode step.  At 7B decode the
+    step is weights+cache HBM-bandwidth-bound (PERFORMANCE.md: 4.5 GB params
+    + 2.2 GB cache / 819 GB/s), so halving cache traffic is the largest
+    single decode lever.  Each k/v side becomes ``{"q": int8, "s": fp32}``;
+    every cache consumer (eager, flash-prefill, paged block loop, engine
+    insert/compact) handles both layouts."""
     shape = (cfg.n_layers, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
+    if quantized:
+        sshape = shape[:-1] + (1,)
+        side = lambda: {"q": jnp.zeros(shape, jnp.int8),
+                        "s": jnp.ones(sshape, jnp.float32)}
+        return {"k": side(), "v": side(),
+                "length": jnp.zeros((), jnp.int32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype),
             "length": jnp.zeros((), jnp.int32)}
+
+
+def _kv_quantize(x: Array) -> tuple[Array, Array]:
+    """Per-(token, head) symmetric int8 over head_dim: (..., hd) ->
+    (int8 values, fp32 scale (..., 1)).  All-zero rows quantize exactly."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.where(ax == 0, 1.0, ax / 127.0)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _kv_update(side, new: Array, start) -> Array | dict:
+    """Write ``new`` (b, L, K, hd) into one cache side at 5-d ``start``
+    (layer, 0, pos, 0, 0); quantizes on the fly for int8 caches."""
+    if isinstance(side, dict):
+        q, s = _kv_quantize(new)
+        return {"q": jax.lax.dynamic_update_slice(side["q"], q[None], start),
+                "s": jax.lax.dynamic_update_slice(side["s"], s[None], start)}
+    return jax.lax.dynamic_update_slice(side, new[None].astype(side.dtype),
+                                        start)
+
+
+def _kv_layer(side, layer_idx, dtype) -> Array:
+    """Read one layer's (b, S, K, hd) slice, dequantized to ``dtype``.
+    The int8 values and scales are sliced separately so HBM reads stay at
+    one byte per element; XLA fuses the dequant multiply into the consumer
+    dot exactly as it does for quantized weights."""
+    take = functools.partial(jax.lax.dynamic_index_in_dim,
+                             index=layer_idx, axis=0, keepdims=False)
+    if isinstance(side, dict):
+        return (take(side["q"]).astype(jnp.float32)
+                * take(side["s"])).astype(dtype)
+    return take(side).astype(dtype)
+
+
+def kv_cache_shape(cache: dict) -> tuple:
+    """(n_layers, batch, S, K, hd) for plain or quantized caches."""
+    k = cache["k"]
+    return (k["q"] if isinstance(k, dict) else k).shape
 
 
 def forward(base: dict, cfg: LlamaConfig, *,
@@ -372,7 +421,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
                             max_seq_len=cfg.max_seq_len)
 
     if cache is not None:
-        S = cache["k"].shape[2]
+        S = kv_cache_shape(cache)[2]
         cache_index = cache["length"]
         if attn_mask is None:
             raise ValueError("cached forward needs attn_mask over the cache")

@@ -254,13 +254,14 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
 def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
              max_new_tokens: int, eos_id: int, pad_id: int = 0,
              temperature: float = 0.0, top_k: int = 0,
-             top_p: float = 1.0, rng=None) -> Array:
+             top_p: float = 1.0, rng=None, kv_quant: bool = False) -> Array:
     """Multimodal generation (replaces UnifiedForCausalLM.generate + the
     forked GenerationMixin).  Greedy by default (the reference's eval
     drivers all run ``do_sample=False``); a nonzero ``temperature`` samples
     with the optional top-k / top-p warpers (``eval/sampling.py``).
     ``temperature``/``top_k``/``top_p`` may be scalars or per-row (b,)
-    arrays (rows with temperature 0 decode greedily)."""
+    arrays (rows with temperature 0 decode greedily).  ``kv_quant`` stores
+    the decode KV cache int8 (half the cache HBM reads per step)."""
     import numpy as np
     from moka_tpu.eval.decode import greedy_generate, sample_generate
     embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
@@ -268,7 +269,7 @@ def generate(trainable: dict, frozen: dict, cfg: UnifiedConfig, batch: dict,
     common = dict(cfg=cfg.llama, spec=cfg.spec, inputs_embeds=embeds,
                   prompt_mask=batch["attn_mask"], masks=masks,
                   max_new_tokens=max_new_tokens, eos_id=eos_id,
-                  pad_id=pad_id)
+                  pad_id=pad_id, kv_quant=kv_quant)
     if np.any(np.asarray(temperature) > 0):
         return sample_generate(
             frozen["llama"], trainable.get("adapters"), rng=rng,

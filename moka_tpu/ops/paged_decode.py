@@ -41,14 +41,21 @@ def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
                            length, *, block_k: int = 256,
                            interpret: bool = False):
     """q: (B, 1, H, hd) single-token queries; cache_k/v: (N, B, S, K, hd)
-    layer-stacked HBM cache; attn_mask: (B, S) validity; layer_idx, length:
-    scalars (current layer, valid slots incl. the token just written).
+    layer-stacked HBM cache — either plain arrays or int8 dicts
+    ``{"q": int8 (N,B,S,K,hd), "s": fp32 (N,B,S,K,1)}`` (``init_kv_cache``
+    quantized layout; the block loop then reads HALF the cache bytes and
+    folds the per-(token, head) scales into the score/value accumulators);
+    attn_mask: (B, S) validity; layer_idx, length: scalars (current layer,
+    valid slots incl. the token just written).
 
     ``interpret`` is accepted for API compatibility (this path is pure XLA
     and runs anywhere).  Returns (B, 1, H, hd)."""
     del interpret
+    kv_quant = isinstance(cache_k, dict)
+    k_arr = cache_k["q"] if kv_quant else cache_k
+    v_arr = cache_v["q"] if kv_quant else cache_v
     B, _, H, hd = q.shape
-    N, _, S, KH, _ = cache_k.shape
+    N, _, S, KH, _ = k_arr.shape
     G = H // KH
     bk = min(block_k, S)
     if S % bk:
@@ -66,21 +73,32 @@ def paged_decode_attention(q, cache_k, cache_v, attn_mask, layer_idx,
     def body(i, carry):
         m, l, acc = carry
         k_blk = lax.dynamic_slice(
-            cache_k, (layer, 0, i * bk, 0, 0), (1, B, bk, KH, hd))[0]
+            k_arr, (layer, 0, i * bk, 0, 0), (1, B, bk, KH, hd))[0]
         v_blk = lax.dynamic_slice(
-            cache_v, (layer, 0, i * bk, 0, 0), (1, B, bk, KH, hd))[0]
+            v_arr, (layer, 0, i * bk, 0, 0), (1, B, bk, KH, hd))[0]
+        if kv_quant:
+            # (B, bk, KH) scales -> (B, KH, 1, bk) to ride the accumulators
+            ks = lax.dynamic_slice(
+                cache_k["s"], (layer, 0, i * bk, 0, 0),
+                (1, B, bk, KH, 1))[0, ..., 0].transpose(0, 2, 1)[:, :, None]
+            vs = lax.dynamic_slice(
+                cache_v["s"], (layer, 0, i * bk, 0, 0),
+                (1, B, bk, KH, 1))[0, ..., 0].transpose(0, 2, 1)[:, :, None]
         k_ids = i * bk + jnp.arange(bk)
         mask_blk = lax.dynamic_slice(attn_mask, (0, i * bk), (B, bk))
         ok = (k_ids[None, :] < length) & (mask_blk > 0)        # (B, bk)
 
         s = jnp.einsum("bkgd,bskd->bkgs", qf,
                        k_blk.astype(jnp.float32)) * scale      # (B,KH,G,bk)
+        if kv_quant:
+            s = s * ks
         s = jnp.where(ok[:, None, None, :], s, NEG_INF)
         m_cur = jnp.maximum(m, jnp.max(s, axis=-1))
         alpha = jnp.exp(m - m_cur)
         p = jnp.exp(s - m_cur[..., None])                      # (B,KH,G,bk)
         l_cur = l * alpha + jnp.sum(p, axis=-1)
-        pv = jnp.einsum("bkgs,bskd->bkgd", p,
+        pv = jnp.einsum("bkgs,bskd->bkgd",
+                        p * vs if kv_quant else p,
                         v_blk.astype(jnp.float32))
         acc_cur = acc * alpha[..., None] + pv
         return m_cur, l_cur, acc_cur
