@@ -173,7 +173,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
 def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
                    remat_policy=None, n_video_groups=10, n_audio_groups=10,
                    audio_frames=192, rng_impl="rbg", a8_dots=False,
-                   quantize_head=False):
+                   quantize_head=False, quantize_encoders=False):
     """FULL multimodal fine-tune step at flagship scale: CLIP ViT-L/14 on
     ``n_video_groups`` frames + BEATs on ``n_audio_groups`` fbank segments
     (both frozen, forward every step), two trainable Q-Former projectors
@@ -208,6 +208,14 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         "clip": init_clip_params(k2, ucfg.clip, dtype=jnp.bfloat16),
         "beats": init_beats_params(k3, ucfg.beats, dtype=jnp.bfloat16),
     }
+    if quantize_encoders:
+        # the towers are exactly as frozen as the base
+        # (multimodal_encoder.py:44,183-186) — same weight-only treatment
+        from moka_tpu.ops.quant import quantize_encoder
+        frozen["clip"] = quantize_encoder(frozen["clip"],
+                                          bits=quantize_encoders)
+        frozen["beats"] = quantize_encoder(frozen["beats"],
+                                           bits=quantize_encoders)
     trainable = unified.init_trainable(k4, ucfg)
 
     b, L = batch, seqlen
@@ -283,8 +291,8 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
 
     p_llama = _count(frozen["llama"], quantized=bool(quantize))
-    p_clip = _count(frozen["clip"])
-    p_beats = _count(frozen["beats"])
+    p_clip = _count(frozen["clip"], quantized=bool(quantize_encoders))
+    p_beats = _count(frozen["beats"], quantized=bool(quantize_encoders))
     p_proj = _count({k: v for k, v in trainable.items()
                      if k.endswith("projector")})
     # per-step flops: adapter-training LLaMA (6P: 2P fwd + 2P remat +
@@ -324,6 +332,7 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
         "quantized_base": quantize, "remat_policy": remat_policy,
         "rng_impl": rng_impl, "a8_dots": a8_dots,
         "quantized_head": quantize_head,
+        "quantized_encoders": quantize_encoders,
     }
 
 
@@ -347,6 +356,10 @@ def _mm_candidates():
         # (~89% eff. MFU); "full" adds the int8 backward cotangent on the
         # dX dots — 4,388 tok/s; quality anchored by exp_quant_quality.py
         # alongside the weight-only bases
+        # + int8 frozen encoders (weight-only): CLIP 303M + BEATs 90M drop
+        # ~0.45 GB HBM and halve the encoder weight reads of the fwd pass
+        "avt_7b_int4a8f_qh_qenc": (cfg7b, 4, 1024, 4, "qkvod_lse", "full",
+                                   8, 8),
         "avt_7b_int4a8f_qh": (cfg7b, 4, 1024, 4, "qkvod_lse", "full", 8),
         "avt_7b_int4a8f_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse",
                                      "full"),
@@ -361,9 +374,11 @@ def run_one_mm(name: str) -> None:
     v = _mm_candidates()[name]
     ucfg, b, L, quant, pol, a8 = v[:6]
     qh = v[6] if len(v) > 6 else False
+    qe = v[7] if len(v) > 7 else False
     print(json.dumps(run_multimodal(name, ucfg, b, L, quant,
                                     remat_policy=pol, a8_dots=a8,
-                                    quantize_head=qh)))
+                                    quantize_head=qh,
+                                    quantize_encoders=qe)))
 
 
 def _candidates():

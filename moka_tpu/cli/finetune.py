@@ -49,6 +49,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    default=0, choices=[4, 8], metavar="BITS",
                    help="int8/int4 weight-only frozen base (QLoRA-style); "
                         "bare flag = int8; lets 7B fit one 16GB chip")
+    p.add_argument("--quantize-encoders", nargs="?", type=int, const=8,
+                   choices=(4, 8), default=0,
+                   help="weight-only quantization of the frozen CLIP/BEATs "
+                        "towers (they are exactly as frozen as the base — "
+                        "multimodal_encoder.py:44,183-186): ~0.45 GB HBM "
+                        "freed at 7B-AVT and half the encoder weight reads "
+                        "per step; quality anchored alongside the base arms "
+                        "(exp_quant_quality.py)")
     p.add_argument("--quantize-head", nargs="?", type=int, const=8,
                    default=0, choices=[4, 8], metavar="BITS",
                    help="with --quantize-base: also quantize the frozen "
@@ -207,6 +215,12 @@ def main(argv=None):
                                      jnp.bfloat16)
         if args.quantize_base:
             frozen["llama"] = _quantize_llama(frozen["llama"])
+    if args.quantize_encoders:
+        from moka_tpu.ops.quant import quantize_encoder
+        frozen["clip"] = quantize_encoder(frozen["clip"],
+                                          bits=args.quantize_encoders)
+        frozen["beats"] = quantize_encoder(frozen["beats"],
+                                           bits=args.quantize_encoders)
     frozen = shardlib.shard_params(mesh, frozen,
                                    host_offload=args.host_offload)
     if jax.process_index() == 0:

@@ -96,7 +96,15 @@ def fbank(waveform: np.ndarray, sample_rate: int = 16000,
 def beats_fbank(waveform: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
     """Waveform in [-1, 1] -> normalized (T, 128) fbank exactly as the
     reference preprocess does (``audio_processor.py:29-41``,
-    ``BEATs.py:119-132``)."""
-    feats = fbank(np.asarray(waveform, np.float64) * (2 ** 15),
-                  sample_rate=sample_rate)
+    ``BEATs.py:119-132``).
+
+    Rides the C++ frontend (``moka_tpu/native``) when available — the fbank
+    is the dataloader's audio hot loop (10 segments/sample; SURVEY §3.1) —
+    with this numpy implementation as the fallback and cross-check
+    (``tests/test_fbank.py`` pins the two against each other)."""
+    wav = np.asarray(waveform, np.float64) * (2 ** 15)
+    from moka_tpu.native import native_fbank
+    feats = native_fbank(wav.astype(np.float32), sample_rate=sample_rate)
+    if feats is None:
+        feats = fbank(wav, sample_rate=sample_rate)
     return (feats - FBANK_MEAN) / (2 * FBANK_STD)

@@ -127,6 +127,11 @@ def _ln(x, p, eps):
 
 
 def _dense(x, p):
+    # p["w"] may be an int8/int4 dict (quantize_encoder — the tower is as
+    # frozen as the LLaMA base); the dequant fuses into the dot operand
+    from moka_tpu.ops.quant import is_quantized, qmatmul
+    if is_quantized(p["w"]):
+        return qmatmul(x, p["w"], spec="...d,df->...f") + p["b"]
     return jnp.einsum("...d,df->...f", x, p["w"]) + p["b"]
 
 

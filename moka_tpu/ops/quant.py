@@ -231,6 +231,38 @@ def quantize_llama_base(base: dict, bits: int = 8,
     return out
 
 
+def quantize_encoder(params: dict, bits: int = 8,
+                     min_dim: int = 64) -> dict:
+    """Weight-only quantization for a frozen encoder tree (CLIP ViT /
+    BEATs).
+
+    The encoders are exactly as frozen as the LLaMA base
+    (``multimodal_encoder.py:44,183-186`` freezes both towers), so the same
+    QLoRA-class treatment applies: every ``{"w": (..., d_in, d_out), "b"}``
+    linear leaf-dict whose matmul dims are both >= ``min_dim`` gets its
+    weight replaced by a quantized ``{"w_i8"/"w_i4", "scale"}`` dict
+    (per-out-channel scales; layer-stacked (N, d_in, d_out) weights get one
+    scale per (layer, out-channel)).  Tiny heads (e.g. BEATs' (hd, 8) GRU
+    gate), norms, embeddings, and conv kernels pass through untouched.  The
+    encoders' ``_dense`` consumes both layouts (``qmatmul``)."""
+    quant = {8: quantize_int8, 4: quantize_int4}[bits]
+
+    def walk(node):
+        if isinstance(node, dict):
+            if is_quantized(node):
+                return node
+            w = node.get("w")
+            if (w is not None and hasattr(w, "ndim") and w.ndim >= 2
+                    and min(w.shape[-2:]) >= min_dim
+                    and (bits == 8 or w.shape[-2] % 2 == 0)):
+                return {**{k: v for k, v in node.items() if k != "w"},
+                        "w": quant(w, axis=-2)}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)
+
+
 def quantized_bytes(tree) -> int:
     import numpy as np
     return sum(int(np.prod(x.shape)) * x.dtype.itemsize

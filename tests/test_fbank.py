@@ -59,8 +59,10 @@ def test_native_matches_numpy():
 
 
 def test_beats_fbank_normalization():
+    # beats_fbank rides the native (fp32) frontend when available; compare
+    # against the numpy fp64 twin with an fp32-noise tolerance
     wav = np.random.default_rng(4).standard_normal(16000) * 0.1
     raw = fb.fbank(wav * 2 ** 15)
     norm = fb.beats_fbank(wav)
     np.testing.assert_allclose(norm, (raw - fb.FBANK_MEAN) /
-                               (2 * fb.FBANK_STD), rtol=1e-6)
+                               (2 * fb.FBANK_STD), rtol=1e-4, atol=1e-5)

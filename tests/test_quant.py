@@ -319,3 +319,103 @@ def test_quantized_head_train_step():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1, losses[::6]
+
+
+def test_quantize_encoder_clip_and_beats_close():
+    """int8 frozen towers (quantize_encoder): outputs stay close to fp32,
+    tiny/norm/conv leaves pass through untouched, int4 also runs."""
+    from moka_tpu.models import beats as beats_mod
+    from moka_tpu.models import clip_vit
+    from moka_tpu.ops.quant import is_quantized, quantize_encoder
+
+    ccfg = clip_vit.ClipVitConfig.tiny()
+    cp = clip_vit.init_clip_params(jax.random.key(0), ccfg)
+    # widen the tiny tower so min_dim=64 engages on fc1/fc2
+    cq = quantize_encoder(cp, bits=8, min_dim=16)
+    assert is_quantized(cq["layers"]["q"]["w"])
+    assert is_quantized(cq["layers"]["fc1"]["w"])
+    # non-linear leaves untouched
+    assert not isinstance(cq["patch"], dict)
+    assert "g" in cq["layers"]["ln1"] and not is_quantized(cq["layers"]["ln1"])
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((2, 3, 28, 28)), jnp.float32)
+    ref = clip_vit.clip_hidden_states(cp, ccfg, img, (1, 2))
+    got = clip_vit.clip_hidden_states(cq, ccfg, img, (1, 2))
+    for r, g in zip(ref, got):
+        err = np.abs(np.asarray(g - r)).mean() / \
+            (np.abs(np.asarray(r)).mean() + 1e-9)
+        assert err < 0.05, err
+
+    bcfg = beats_mod.BeatsConfig.tiny()
+    bp = beats_mod.init_beats_params(jax.random.key(1), bcfg)
+    bq = quantize_encoder(bp, bits=8, min_dim=16)
+    assert is_quantized(bq["layers"]["q"]["w"])
+    # the (hd=12, 8) GRU gate head is below min_dim -> untouched
+    assert not is_quantized(bq["layers"]["grep"]["w"])
+    assert not isinstance(bq["pos_conv_w"], dict)
+    fb = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    ref = beats_mod.beats_encode(bp, bcfg, fb)
+    got = beats_mod.beats_encode(bq, bcfg, fb)
+    err = np.abs(np.asarray(got - ref)).mean() / \
+        (np.abs(np.asarray(ref)).mean() + 1e-9)
+    assert err < 0.05, err
+
+    # int4 path compiles and runs (even d_in only)
+    c4 = quantize_encoder(cp, bits=4, min_dim=16)
+    assert is_quantized(c4["layers"]["fc1"]["w"])
+    out4 = clip_vit.clip_hidden_states(c4, ccfg, img, (2,))
+    assert np.isfinite(np.asarray(out4[0])).all()
+
+
+def test_quantized_encoders_multimodal_train_step():
+    """Full unified train step with int8 towers: loss finite, close to the
+    fp32-tower loss, and adapters still train."""
+    from moka_tpu.models import unified
+    from moka_tpu.ops.quant import quantize_encoder
+    cfg = unified.UnifiedConfig.tiny()
+    frozen = unified.init_frozen(jax.random.key(0), cfg, dtype=jnp.float32)
+    qfrozen = dict(frozen)
+    qfrozen["clip"] = quantize_encoder(frozen["clip"], bits=8, min_dim=16)
+    qfrozen["beats"] = quantize_encoder(frozen["beats"], bits=8, min_dim=16)
+    trainable = unified.init_trainable(jax.random.key(1), cfg)
+
+    from moka_tpu.data import assembler as asm
+    rng = np.random.default_rng(0)
+    b, L = 2, 96
+    base_v = cfg.llama.vocab_size - len(asm.SPECIAL_TOKENS)
+    t2i = {t: base_v + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    samples = []
+    nv = 2 * cfg.vl_projector.num_query_tokens
+    na = 2 * cfg.al_projector.num_query_tokens
+    for i in range(b):
+        ids = ([5, 6] + [t2i["<video_start>"], t2i["<video>"],
+                         t2i["<video_end>"]]
+               + [t2i["<audio_start>"], t2i["<audio>"], t2i["<audio_end>"]]
+               + rng.integers(4, base_v, 6).tolist())
+        lab = [-100] * (len(ids) - 4) + ids[-4:]
+        samples.append(asm.assemble_sample(
+            np.asarray(ids), np.asarray(lab), t2i, pad_id=0,
+            n_video_tokens=nv, n_audio_tokens=na))
+    batch = asm.pad_batch(samples, pad_id=0, pad_to=L)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["video"] = jnp.asarray(rng.standard_normal(
+        (b, 2, 3, cfg.clip.image_size, cfg.clip.image_size)), jnp.float32)
+    batch["audio"] = jnp.asarray(rng.standard_normal((b, 2, 32, 128)),
+                                 jnp.float32)
+
+    loss_fn = unified.unified_loss(cfg)
+    l_ref, _ = loss_fn(trainable, frozen, batch, jax.random.key(0))
+    l_q, _ = loss_fn(trainable, qfrozen, batch, jax.random.key(0))
+    assert np.isfinite(float(l_q))
+    assert abs(float(l_q) - float(l_ref)) < 0.05 * abs(float(l_ref)) + 0.05
+
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=20)
+    step = make_train_step(unified.unified_loss(cfg), tx)
+    state = init_train_state(trainable, tx, jax.random.key(0))
+    losses = []
+    for _ in range(10):
+        state, m = step(state, qfrozen, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
