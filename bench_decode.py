@@ -78,7 +78,8 @@ def main(cfg_name: str = "llama_3b", batch: int = 8, prompt_len: int = 896,
 
 def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
                 n_requests: int = 24, prompt_len: int = 256,
-                new_tokens: int = 64, kv_quant: bool = False):
+                new_tokens: int = 64, kv_quant: bool = False,
+                ks=(1, 16, 32, 64)):
     """Continuous-batching serving bench: a stream of requests with RAGGED
     generation lengths (16..2*new_tokens, the regime continuous batching
     exists for) through the DecodeEngine (mid-stream admission, slot reuse)
@@ -114,6 +115,8 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
             for _ in range(n_requests)]
     useful = sum(budgets)
 
+    dispatches = {}
+
     def run_engine(k=1):
         eng = DecodeEngine(base, adapters, cfg=cfg, spec=spec,
                            n_slots=n_slots,
@@ -123,6 +126,7 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
         waiters = [eng.submit(e, m, max_new_tokens=b)
                    for (e, m), b in zip(reqs, budgets)]
         eng.run_until_drained()
+        dispatches[f"engine_k{k}" if k > 1 else "engine"] = eng._dispatch_no
         return sum(len(w.get(timeout=1)) for w in waiters)
 
     def run_static():
@@ -142,17 +146,19 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
         return total
 
     results = {}
-    for name, fn in (("engine", run_engine),
-                     ("engine_k16", lambda: run_engine(16)),
-                     ("engine_k32", lambda: run_engine(32)),
-                     ("engine_k64", lambda: run_engine(64)),
-                     ("static", run_static)):
+    variants = [(f"engine_k{k}" if k > 1 else "engine",
+                 (lambda kk: lambda: run_engine(kk))(k)) for k in ks]
+    for name, fn in variants + [("static", run_static)]:
         fn()  # compile warmup
         t0 = time.perf_counter()
         n_tok = fn()
         dt = time.perf_counter() - t0
         results[name] = {"tokens": n_tok, "wall_s": round(dt, 3),
                          "tokens_per_sec": round(n_tok / dt, 1)}
+        if name in dispatches:
+            # total device dispatches (prefill groups + decode scans): the
+            # per-dispatch link RTT model for the engine/static gap
+            results[name]["dispatches"] = dispatches[name]
     best = max((v["tokens_per_sec"] for n, v in results.items()
                 if n.startswith("engine")))
     print(json.dumps({
@@ -168,9 +174,16 @@ def main_engine(cfg_name: str = "llama_3b", n_slots: int = 8,
 
 if __name__ == "__main__":
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    nt = int(sys.argv[sys.argv.index("--new-tokens") + 1]) \
+        if "--new-tokens" in sys.argv else None
     if "--engine" in sys.argv:
+        ks = tuple(int(x) for x in
+                   sys.argv[sys.argv.index("--ks") + 1].split(",")) \
+            if "--ks" in sys.argv else (1, 16, 32, 64)
         main_engine(pos[0] if pos else "llama_3b",
-                    kv_quant="--kv-quant" in sys.argv)
+                    kv_quant="--kv-quant" in sys.argv, ks=ks,
+                    **({"new_tokens": nt} if nt else {}))
     else:
         main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv,
-             kv_quant="--kv-quant" in sys.argv)
+             kv_quant="--kv-quant" in sys.argv,
+             **({"new_tokens": nt} if nt else {}))

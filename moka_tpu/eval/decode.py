@@ -34,14 +34,23 @@ def positions_from_mask(attn_mask: Array) -> Array:
     return jnp.maximum(pos, 0)
 
 
-def paged_decode_auto(cfg: LlamaConfig, capacity: int) -> bool:
+def paged_decode_auto(cfg: LlamaConfig, capacity: int,
+                      kv_quant: bool = False) -> bool:
     """Measured gate for the length-aware decode block loop (PERFORMANCE.md
     decode table): it wins only where the cache read dominates the step.
     3B: +9% at S>=1024, -5% at S=512.  7B: ~tied-to-slightly-worse at
     S=1024 (weight reads dominate), so large models need a longer cache
-    before the loop pays."""
+    before the loop pays.
+
+    int8 caches (``kv_quant``) always take the block loop on TPU: the eager
+    path materializes each layer's dequantized cache slice (measured −12%
+    at 7B S1024) while the block loop reads int8 directly and folds the
+    scales into the online-softmax accumulators (+5.5% at S≈1k, +9% at
+    S≈1.4k — PERFORMANCE.md r4 decode table)."""
     if jax.default_backend() != "tpu":
         return False
+    if kv_quant:
+        return True
     if cfg.dim >= 4096:  # 7B-class and up
         return capacity >= 2048
     return capacity >= 1024
@@ -149,7 +158,7 @@ def greedy_generate(base: dict, adapters: dict | None, *,
         use_flash = jax.default_backend() == "tpu"
     if paged_decode is None:
         paged_decode = paged_decode_auto(
-            cfg, inputs_embeds.shape[1] + max_new_tokens)
+            cfg, inputs_embeds.shape[1] + max_new_tokens, kv_quant=kv_quant)
     return _greedy_generate(
         base, adapters, cfg=cfg, spec=spec, inputs_embeds=inputs_embeds,
         prompt_mask=prompt_mask, masks=masks,
@@ -186,7 +195,7 @@ def sample_generate(base: dict, adapters: dict | None, *,
         use_flash = jax.default_backend() == "tpu"
     if paged_decode is None:
         paged_decode = paged_decode_auto(
-            cfg, inputs_embeds.shape[1] + max_new_tokens)
+            cfg, inputs_embeds.shape[1] + max_new_tokens, kv_quant=kv_quant)
     b = inputs_embeds.shape[0]
     bc = lambda x, dt: jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(x, dt)),
                                         (b,))

@@ -264,9 +264,11 @@ class DecodeEngine:
         if paged_decode is None:
             # the measured capacity/model-size gate shared with the batch
             # decoders (eval/decode.py::paged_decode_auto): the block loop
-            # only pays where the cache read dominates the step
+            # only pays where the cache read dominates the step — and is
+            # mandatory-on for int8 caches (eager dequant materializes)
             from moka_tpu.eval.decode import paged_decode_auto
-            paged_decode = paged_decode_auto(cfg, cache_capacity)
+            paged_decode = paged_decode_auto(cfg, cache_capacity,
+                                             kv_quant=kv_quant)
         self.paged_decode = paged_decode
         # >1 = scan k decode steps per dispatch (amortizes the per-dispatch
         # host sync; new requests wait up to k steps for admission)
@@ -291,6 +293,13 @@ class DecodeEngine:
         self.topp = np.ones(n_slots, np.float32)
         self._key = jax.random.key(sample_seed)
         self._dispatch_no = 0
+        # device mirror of self.tokens: admission scatters prefill tokens in
+        # WITHOUT a host sync, so the next decode dispatch can launch before
+        # the prefill result lands (the sync overlaps the decode scan —
+        # saves one link round-trip per admission batch on remote chips)
+        self._tokens_dev = jnp.zeros((n_slots,), jnp.int32)
+        # (group, slots, device toks) awaiting host-side emission
+        self._pending_admits: list = []
         self.slot_req: list[_Request | None] = [None] * n_slots
         # deque (not Queue): admission peeks at the head to group
         # same-bucket requests into one batched prefill
@@ -433,23 +442,24 @@ class DecodeEngine:
                 top_p=jnp.asarray([r.top_p for r in group], jnp.float32),
                 use_flash=self.use_flash,
                 cache_dtype=self.cache_dtype, kv_quant=self.kv_quant)
-            toks = np.asarray(toks)
             slots = [free.pop(0) for _ in group]
+            slots_d = jnp.asarray(slots, jnp.int32)
             self.gk, self.gv, self.amask = _insert(
                 self.gk, self.gv, self.amask, ks, vs,
                 jnp.asarray(np.concatenate(
-                    [r.prompt_mask for r in group]), jnp.float32),
-                jnp.asarray(slots, jnp.int32))
-            for i, (r, slot) in enumerate(zip(group, slots)):
+                    [r.prompt_mask for r in group]), jnp.float32), slots_d)
+            # scatter first tokens into the device mirror (async) and defer
+            # the host read until after the next decode dispatch
+            self._tokens_dev = self._tokens_dev.at[slots_d].set(toks)
+            self._pending_admits.append((group, slots, toks))
+            for r, slot in zip(group, slots):
                 self.slot_req[slot] = r
-                self.tokens[slot] = int(toks[i])
                 self.counts[slot] = int(r.prompt_mask.sum())
                 self.budget[slot] = r.max_new_tokens
                 self.temp[slot] = r.temperature
                 self.topk[slot] = r.top_k
                 self.topp[slot] = r.top_p
                 self.cur = max(self.cur, Lp)
-                self._emit(slot, int(toks[i]))
 
     def _emit(self, slot: int, tok: int):
         """Record one generated token; retire the lane on eos/budget."""
@@ -463,6 +473,20 @@ class DecodeEngine:
             self.slot_req[slot] = None
             self.amask = self.amask.at[slot].set(0.0)  # reclaimable cells
             self.counts[slot] = 0
+
+    def _flush_admits(self):
+        """Host-side emission of deferred first tokens (the device scatter
+        already happened in ``_admit``).  Called AFTER the next decode
+        dispatch so the prefill-result sync overlaps the decode scan; a lane
+        retired here (eos/budget-1 first token) wastes at most that one
+        already-dispatched scan — its outputs are dropped by the
+        ``slot_req[slot] is None`` guard and its cells are re-masked."""
+        for group, slots, toks in self._pending_admits:
+            vals = np.asarray(toks)
+            for i, (r, slot) in enumerate(zip(group, slots)):
+                self.tokens[slot] = int(vals[i])
+                self._emit(slot, int(vals[i]))
+        self._pending_admits.clear()
 
     def _decode_step(self):
         k = self.steps_per_dispatch
@@ -493,33 +517,41 @@ class DecodeEngine:
         temp = jnp.asarray(self.temp)
         topk = jnp.asarray(self.topk)
         topp = jnp.asarray(self.topp)
+        # token inputs come from the device mirror (_admit scatters first
+        # tokens in asynchronously); the prefill sync happens in
+        # _flush_admits AFTER this dispatch, overlapping the decode scan
         if k == 1:
             new_tok, self.gk, self.gv, self.amask = _step(
                 self.base, self.adapters, self.gk, self.gv, self.amask,
-                jnp.asarray(self.tokens), jnp.asarray(self.counts),
+                self._tokens_dev, jnp.asarray(self.counts),
                 jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
                 rng, temp, topk, topp,
                 cfg=self.cfg, spec=self.spec,
                 paged_decode=self.paged_decode)
+            self._flush_admits()
             toks = np.asarray(new_tok)[None]  # one host sync per dispatch
         else:
             toks_d, self.gk, self.gv, self.amask = _step_multi(
                 self.base, self.adapters, self.gk, self.gv, self.amask,
-                jnp.asarray(self.tokens), jnp.asarray(self.counts),
+                self._tokens_dev, jnp.asarray(self.counts),
                 jnp.asarray(active), jnp.asarray(self.budget),
                 jnp.asarray(self.cur, jnp.int32),
                 rng, temp, topk, topp,
                 cfg=self.cfg, spec=self.spec,
                 paged_decode=self.paged_decode, n_steps=k,
                 eos_id=self.eos_id)
+            self._flush_admits()
             toks = np.asarray(toks_d)  # (k, slots)
         self.cur += k
         for i in range(toks.shape[0]):
             for slot in range(self.n_slots):
                 # skip lanes that were empty at dispatch or retired at an
-                # earlier micro-step (their rows repeat the last token)
+                # earlier micro-step (their rows repeat the last token) —
+                # including lanes whose deferred first token already
+                # finished the request in _flush_admits
                 if self.slot_req[slot] is None or not active[slot]:
                     continue
                 self.counts[slot] += 1
                 self.tokens[slot] = int(toks[i, slot])
                 self._emit(slot, int(toks[i, slot]))
+        self._tokens_dev = jnp.asarray(self.tokens)

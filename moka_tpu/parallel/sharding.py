@@ -73,6 +73,28 @@ def _path_str(path) -> str:
     return "/".join(out)
 
 
+def _divisible_spec(mesh: Mesh, spec: P, shape) -> P:
+    """Drop spec entries whose mesh-axis product does not divide the dim.
+
+    Real checkpoints have indivisible dims — e.g. the resized LLaMA vocab
+    32011 (32000 + 11 special tokens) is odd, so the lm_head's (d, V)
+    cannot TP-shard its vocab axis over model=2 (caught by
+    ``exp_multichip_aot.py`` at flagship shapes; ``jax.device_put`` requires
+    even division).  Such dims fall back to replicated-along-that-dim; the
+    rest of the spec is kept."""
+    parts = []
+    for dim, part in zip(shape, spec):
+        if part is None:
+            parts.append(None)
+            continue
+        names = part if isinstance(part, tuple) else (part,)
+        n = 1
+        for name in names:
+            n *= mesh.shape[name]
+        parts.append(part if dim % n == 0 else None)
+    return P(*parts)
+
+
 def param_shardings(mesh: Mesh, params, host_offload: bool = False) -> dict:
     """NamedSharding pytree matching ``params`` (works on shapes or arrays).
 
@@ -81,8 +103,9 @@ def param_shardings(mesh: Mesh, params, host_offload: bool = False) -> dict:
     100B-class bases (``zero_stage3_config_100b_1e7_offload.json:13-20``);
     XLA streams them to HBM per use."""
     def one(path, leaf):
-        ndim = len(getattr(leaf, "shape", ()))
-        sh = NamedSharding(mesh, spec_for_path(_path_str(path), ndim))
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = spec_for_path(_path_str(path), len(shape))
+        sh = NamedSharding(mesh, _divisible_spec(mesh, spec, shape))
         if host_offload:
             sh = sh.with_memory_kind("pinned_host")
         return sh

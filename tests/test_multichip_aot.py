@@ -1,0 +1,62 @@
+"""AOT flagship-scale multichip audit (exp_multichip_aot.py) as a test.
+
+Complements ``__graft_entry__.dryrun_multichip`` (tiny-shape EXECUTION):
+this compiles the 7B flagship train step at REAL shapes on a virtual
+(1, 4, 2) mesh and asserts (a) a clean compile — the round-2 "Involuntary
+full rematerialization" SPMD warnings appeared only at scale shapes —
+and (b) the expected collective structure (per-layer all-gather of the
+quantized base, adapter-grad all-reduce).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_divisible_spec_fallback():
+    """Indivisible dims fall back to replicated-along-that-dim: the resized
+    vocab 32011 is odd, so the lm_head (d, V) cannot TP-shard V over
+    model=2 (caught by the AOT audit; device_put requires even division)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from moka_tpu.parallel.sharding import _divisible_spec
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 4, 2)
+    mesh = Mesh(devs, ("data", "fsdp", "model"))
+    # lm_head (4096, 32011): fsdp divides d, model does not divide V
+    assert _divisible_spec(mesh, P("fsdp", "model"), (4096, 32011)) == \
+        P("fsdp", None)
+    # clean case unchanged
+    assert _divisible_spec(mesh, P("fsdp", "model"), (4096, 32000)) == \
+        P("fsdp", "model")
+    # tuple axes: ('data','fsdp') product 4 must divide
+    assert _divisible_spec(mesh, P(("data", "fsdp"), None), (6, 32)) == \
+        P(None, None)
+
+
+@pytest.mark.slow
+def test_flagship_aot_compiles_reshard_clean():
+    """~1 min: GSPMD-partition + compile the full 7B flagship step."""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # script forces cpu itself
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "exp_multichip_aot.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "rematerialization" not in proc.stderr.lower(), (
+        "SPMD involuntary-rematerialization warning at flagship shapes:\n"
+        + proc.stderr[-3000:])
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"]
+    coll = out["collectives"]
+    # the FSDP design all-gathers the quantized base per layer
+    assert coll["all-gather"]["count"] > 0
+    assert coll["all-gather"]["bytes"] > 100 * 2 ** 20
+    # adapter grads / loss reductions all-reduce
+    assert coll["all-reduce"]["count"] > 0
