@@ -33,6 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="'tiny' = small random-init model for smoke tests")
     p.add_argument("--max-new-tokens", type=int, default=0,
                    help="override the per-task default generation length")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 decode KV cache (half the cache HBM reads "
+                        "per step; pairs with the paged block loop — "
+                        "PERFORMANCE.md r4 decode table)")
     p.add_argument("--no-score", action="store_true",
                    help="only write per-rank shards (skip the merge+score "
                         "step; the reference needs a separate scorer run, "
@@ -101,7 +105,8 @@ def main(argv=None):
         toks = llava.generate(trainable, frozen, cfg, batch,
                               max_new_tokens=args.max_new_tokens or
                               MAX_NEW[args.task],
-                              eos_id=tok.eos_id, pad_id=tok.pad_id)
+                              eos_id=tok.eos_id, pad_id=tok.pad_id,
+                              kv_quant=args.kv_quant)
         rows = []
         for i, t in enumerate(np.asarray(toks)):
             text = tok.decode([x for x in t.tolist() if x != tok.pad_id])

@@ -137,11 +137,12 @@ def llava_loss(cfg: LlavaConfig, remat: bool = True,
 
 
 def generate(trainable: dict, frozen: dict, cfg: LlavaConfig, batch: dict,
-             max_new_tokens: int, eos_id: int, pad_id: int = 0) -> Array:
+             max_new_tokens: int, eos_id: int, pad_id: int = 0,
+             kv_quant: bool = False) -> Array:
     from moka_tpu.eval.decode import greedy_generate
     embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
     return greedy_generate(
         frozen["llama"], trainable["adapters"], cfg=cfg.llama, spec=cfg.spec,
         inputs_embeds=embeds, prompt_mask=batch["attn_mask"],
         masks=_masks(batch), max_new_tokens=max_new_tokens, eos_id=eos_id,
-        pad_id=pad_id)
+        pad_id=pad_id, kv_quant=kv_quant)

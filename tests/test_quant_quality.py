@@ -84,3 +84,48 @@ def test_quantized_forward_is_actually_different(runs):
     the quantized base must produce a (small but) nonzero loss difference."""
     assert runs["bf16"]["train_curve"][0][1] != \
         runs["int4"]["train_curve"][0][1]
+
+
+@pytest.fixture(scope="module")
+def enc_runs():
+    from exp_quant_quality import run_encoder_variant
+    return {v: run_encoder_variant(v, "tiny", steps=60)
+            for v in ("encbf16", "enc8", "enc4")}
+
+
+def test_enc8_towers_within_band(enc_runs):
+    """int8 frozen CLIP/BEATs towers (quantize_encoder): the video-class-
+    keyed held-out loss must track the bf16 towers inside 1%, and the whole
+    curve must track — tower quantization must not change what the
+    projector+adapters learn from encoder features."""
+    ref, q = enc_runs["encbf16"], enc_runs["enc8"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.01, (q["heldout_loss"], ref["heldout_loss"])
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.01, (i, a, b)
+
+
+def test_enc4_towers_within_band(enc_runs):
+    ref, q = enc_runs["encbf16"], enc_runs["enc4"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
+
+
+def test_quantized_towers_actually_differ():
+    """Guard against a silently-bypassed tower-quant path: the quantized
+    tower must produce (small but) nonzero output differences.  (The loss
+    curves round to identical 4-decimal values at tiny scale, so the guard
+    checks the tower outputs directly.)"""
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.models import clip_vit
+    from moka_tpu.ops.quant import quantize_encoder
+    cfg = clip_vit.ClipVitConfig.tiny()
+    p = clip_vit.init_clip_params(jax.random.key(0), cfg)
+    q = quantize_encoder(p, bits=8, min_dim=16)
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, 28, 28)), jnp.float32)
+    a = clip_vit.clip_hidden_states(p, cfg, img, (2,))[0]
+    b = clip_vit.clip_hidden_states(q, cfg, img, (2,))[0]
+    d = float(jnp.max(jnp.abs(a - b)))
+    assert d > 0, "quantized tower produced bitwise-identical outputs"
