@@ -121,6 +121,36 @@ def parse(outdir: str, top: int = 40):
     for name, dur in rows:
         print(f"{dur:9.2f} ms  x{cnt[name]:<5} {name[:140]}")
 
+    # ---- source-attributed table: ms + HBM bytes + flops per source line
+    # (XLA device events carry args.source / bytes_accessed / model_flops;
+    # while-loop bodies appear once per layer per step, so sums are true
+    # per-trace totals).  GB/s of the top rows against the ~819 GB/s v5e
+    # HBM bound identifies the bandwidth-bound blocks to attack.
+    src_ms = defaultdict(float)
+    src_bytes = defaultdict(float)
+    src_flops = defaultdict(float)
+    src_cnt = defaultdict(int)
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
+            continue
+        a = e.get("args") or {}
+        key = a.get("source")
+        if not key:
+            continue
+        cat = a.get("hlo_category", "")
+        key = f"{key} [{cat}]"
+        src_ms[key] += e.get("dur", 0) / 1e3
+        src_bytes[key] += float(a.get("bytes_accessed", 0) or 0)
+        src_flops[key] += float(a.get("model_flops", 0) or 0)
+        src_cnt[key] += 1
+    print("\n# by source line (sum over the traced steps):")
+    print(f"{'ms':>9}  {'GB/s':>6}  {'TF/s':>6}  x      source [category]")
+    for key, ms in sorted(src_ms.items(), key=lambda kv: -kv[1])[:top]:
+        gbps = src_bytes[key] / (ms * 1e6) if ms else 0.0
+        tfps = src_flops[key] / (ms * 1e9) if ms else 0.0
+        print(f"{ms:9.2f}  {gbps:6.0f}  {tfps:6.1f}  x{src_cnt[key]:<5} "
+              f"{key[:120]}")
+
 
 if __name__ == "__main__":
     if "--parse" in sys.argv:
