@@ -31,9 +31,15 @@ def main():
     mask = jnp.ones((B, L), jnp.int32)
 
     def make(bq, bk):
+        # Both timed fns return ONE scalar that depends on every output:
+        # syncing a 4-byte scalar through the tunnel awaits the full
+        # computation without the 32 MB output transfer that would dominate
+        # the timing (and float(loss) alone would NOT await the grads —
+        # the backward is queued after the loss is already available).
         @jax.jit
         def fwd(q, k, v):
-            return flash_mha(q, k, v, mask, block_q=bq, block_k=bk)
+            return flash_mha(q, k, v, mask, block_q=bq,
+                             block_k=bk).astype(jnp.float32).sum()
 
         @jax.jit
         def fwdbwd(q, k, v):
@@ -41,31 +47,36 @@ def main():
                                           block_k=bk).astype(
                                               jnp.float32).sum()
             l, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
-            return l, grads
+            return l + sum(g.astype(jnp.float32).sum() for g in grads)
 
         return fwd, fwdbwd
 
+    import sys
+    grid = list(itertools.product((256, 512, 1024), (256, 512, 1024)))
+    if "--configs" in sys.argv:  # e.g. --configs 256x256,512x256
+        want = sys.argv[sys.argv.index("--configs") + 1].split(",")
+        grid = [(int(c.split("x")[0]), int(c.split("x")[1])) for c in want]
     results = {}
-    for bq, bk in itertools.product((256, 512, 1024), (256, 512, 1024)):
+    for bq, bk in grid:
         try:
             fwd, fwdbwd = make(bq, bk)
-            np.asarray(fwd(q, k, v))          # compile
+            float(fwd(q, k, v))               # compile
             t0 = time.perf_counter()
             for _ in range(20):
-                o = fwd(q, k, v)
-            np.asarray(o)
+                s = fwd(q, k, v)
+            float(s)
             t_fwd = (time.perf_counter() - t0) / 20 * 1e3
-            l, g = fwdbwd(q, k, v)            # compile
-            float(l)
+            float(fwdbwd(q, k, v))            # compile
             t0 = time.perf_counter()
             for _ in range(20):
-                l, g = fwdbwd(q, k, v)
-            float(l)
+                s = fwdbwd(q, k, v)
+            float(s)
             t_fb = (time.perf_counter() - t0) / 20 * 1e3
             results[f"{bq}x{bk}"] = {"fwd_ms": round(t_fwd, 3),
                                      "fwdbwd_ms": round(t_fb, 3)}
         except Exception as e:  # block too big for VMEM etc.
             results[f"{bq}x{bk}"] = {"error": str(e)[:120]}
+        print(f"# {bq}x{bk}: {results[f'{bq}x{bk}']}", flush=True)
 
     best = min((v["fwdbwd_ms"], k) for k, v in results.items()
                if "fwdbwd_ms" in v)

@@ -28,6 +28,15 @@ Design (no change to ``llama.forward`` needed):
   the longest lane.  Dead cells left by finished requests are reclaimed the
   same way.
 
+- Dispatches are *pipelined*: the full lane state (last token, position,
+  active flag, sampling budget) is carried ON DEVICE between dispatches, so
+  dispatch i+1 is issued from dispatch i's carry before the host has read
+  dispatch i's tokens — the per-dispatch host sync (a full link RTT on
+  remote/tunneled chips) overlaps device compute instead of serializing
+  with it.  Host bookkeeping lags by at most ``pipeline_depth`` dispatches;
+  per-slot request snapshots taken at issue time keep emission exact across
+  retire/re-admit races.
+
 Static shapes throughout: one compiled step executable for the lifetime of
 the engine, one prefill executable per prompt bucket.
 """
@@ -110,33 +119,9 @@ def _insert(gk, gv, amask: Array, lanes_k, lanes_v,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "spec", "paged_decode"),
-                   donate_argnums=(2, 3, 4))
-def _step(base, adapters, gk: Array, gv: Array, amask: Array,
-          tokens: Array, counts: Array, active: Array, cur: Array,
-          rng: Array, temperature: Array, top_k: Array, top_p: Array, *,
-          cfg: LlamaConfig, spec: MokaSpec | None,
-          paged_decode: bool = False):
-    """One decode step for every lane: write k/v at cell ``cur``, attend
-    over each lane's valid cells, sample next tokens (per-lane temperature /
-    top_k / top_p; temperature == 0 lanes take the argmax)."""
-    from moka_tpu.eval.sampling import sample_tokens
-    amask = amask.at[:, cur].set(active.astype(amask.dtype))
-    embeds = jnp.take(base["embed"], tokens[:, None], axis=0)
-    cache = {"k": gk, "v": gv, "length": cur}
-    logits, cache = llama.forward(
-        base, cfg, adapters=adapters, spec=spec,
-        inputs_embeds=embeds, masks=None,
-        attn_mask=amask, positions=counts[:, None], cache=cache,
-        paged_decode=paged_decode)
-    new_tok = sample_tokens(logits[:, -1, :], rng, temperature, top_k, top_p)
-    return new_tok, cache["k"], cache["v"], amask
-
-
-@functools.partial(jax.jit,
                    static_argnames=("cfg", "spec", "paged_decode",
                                     "n_steps", "eos_id"),
-                   donate_argnums=(2, 3, 4))
+                   donate_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
                 tokens: Array, counts: Array, active: Array,
                 budget: Array, cur: Array,
@@ -155,7 +140,13 @@ def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
     freed lane idles for the remainder of the scan — the throughput/latency
     knob is ``steps_per_dispatch``.
 
-    Returns (toks (n_steps, slots), gk, gv, amask)."""
+    The full lane state (tokens, counts, active, budget) is returned so the
+    next dispatch can be issued from the device-resident carry WITHOUT
+    waiting for the host to read this dispatch's tokens — the engine
+    pipelines dispatches and overlaps the host sync with device compute.
+
+    Returns (toks (n_steps, slots), tokens, counts, active, budget,
+    gk, gv, amask)."""
     from moka_tpu.eval.sampling import sample_tokens
 
     def body(carry, i):
@@ -181,8 +172,8 @@ def _step_multi(base, adapters, gk: Array, gv: Array, amask: Array,
     carry, toks = jax.lax.scan(
         body, (gk, gv, amask, tokens, counts, active, budget),
         jnp.arange(n_steps))
-    gk, gv, amask = carry[:3]
-    return toks, gk, gv, amask
+    gk, gv, amask, tokens, counts, active, budget = carry
+    return toks, tokens, counts, active, budget, gk, gv, amask
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -253,7 +244,7 @@ class DecodeEngine:
                  paged_decode: bool | None = None,
                  steps_per_dispatch: int = 1,
                  cache_dtype=jnp.bfloat16, kv_quant: bool = False,
-                 sample_seed: int = 0):
+                 sample_seed: int = 0, pipeline_depth: int = 1):
         self.base, self.adapters = base, adapters
         self.cfg, self.spec = cfg, spec
         self.n_slots, self.S = n_slots, cache_capacity
@@ -293,11 +284,25 @@ class DecodeEngine:
         self.topp = np.ones(n_slots, np.float32)
         self._key = jax.random.key(sample_seed)
         self._dispatch_no = 0
-        # device mirror of self.tokens: admission scatters prefill tokens in
-        # WITHOUT a host sync, so the next decode dispatch can launch before
-        # the prefill result lands (the sync overlaps the decode scan —
-        # saves one link round-trip per admission batch on remote chips)
+        # Device-resident lane state.  Admission scatters new-lane values in
+        # WITHOUT a host sync and each decode dispatch carries the updated
+        # state back as device arrays, so dispatch i+1 can be ISSUED from the
+        # carry of dispatch i before the host has read dispatch i's tokens —
+        # the host sync (one link RTT on tunneled chips) overlaps device
+        # compute.  ``pipeline_depth`` bounds how many dispatches may be in
+        # flight unharvested (0 = harvest immediately, the unpipelined
+        # round-1..3 behavior).
+        self.pipeline_depth = max(0, int(pipeline_depth))
         self._tokens_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._counts_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._active_dev = jnp.zeros((n_slots,), jnp.bool_)
+        self._budget_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._temp_dev = jnp.zeros((n_slots,), jnp.float32)
+        self._topk_dev = jnp.zeros((n_slots,), jnp.int32)
+        self._topp_dev = jnp.ones((n_slots,), jnp.float32)
+        # in-flight decode dispatches awaiting host-side token emission:
+        # (device toks (k, slots), per-slot request snapshot at issue time)
+        self._inflight: "collections.deque" = collections.deque()
         # (group, slots, device toks) awaiting host-side emission
         self._pending_admits: list = []
         self.slot_req: list[_Request | None] = [None] * n_slots
@@ -346,7 +351,9 @@ class DecodeEngine:
                     self._admit()
                     busy = any(self.slot_req)
                     if busy:
-                        self._decode_step()
+                        self._issue()
+                    self._harvest_to(self.pipeline_depth if busy else 0)
+                    busy = busy or bool(self._inflight)
             except Exception:
                 # fail every waiter instead of hanging clients, then exit
                 traceback.print_exc()
@@ -355,6 +362,7 @@ class DecodeEngine:
                     if r is not None:
                         self._finish(r, err)
                 self.slot_req = [None] * self.n_slots
+                self._inflight.clear()
                 while self.pending:
                     self._finish(self.pending.popleft(), err)
                 self._stop = True
@@ -367,12 +375,16 @@ class DecodeEngine:
         Returns the number of decode dispatches executed (each runs
         ``steps_per_dispatch`` token steps)."""
         steps = 0
-        while (self.pending or any(self.slot_req)) \
+        while (self.pending or any(self.slot_req) or self._inflight) \
                 and steps < max_steps:
             self._admit()
             if any(self.slot_req):
-                self._decode_step()
+                self._issue()
                 steps += 1
+            # keep at most pipeline_depth dispatches unharvested while more
+            # work exists; drain fully once the host view goes idle
+            self._harvest_to(
+                self.pipeline_depth if any(self.slot_req) else 0)
         return steps
 
     # -- scheduler internals -------------------------------------------------
@@ -448,9 +460,29 @@ class DecodeEngine:
                 self.gk, self.gv, self.amask, ks, vs,
                 jnp.asarray(np.concatenate(
                     [r.prompt_mask for r in group]), jnp.float32), slots_d)
-            # scatter first tokens into the device mirror (async) and defer
-            # the host read until after the next decode dispatch
+            # scatter the new lanes' state into the device mirrors (async —
+            # no host sync; the prefill-token read happens in _flush_admits
+            # AFTER the next decode dispatch is issued).  The active flag is
+            # computed ON DEVICE from the prefill token so an eos-first-token
+            # or budget-1 lane never decodes, even though the host has not
+            # seen the token yet.
+            lens = np.asarray([int(r.prompt_mask.sum()) for r in group],
+                              np.int32)
+            buds = np.asarray([r.max_new_tokens - 1 for r in group],
+                              np.int32)
+            buds_d = jnp.asarray(buds)
             self._tokens_dev = self._tokens_dev.at[slots_d].set(toks)
+            self._counts_dev = self._counts_dev.at[slots_d].set(
+                jnp.asarray(lens))
+            self._budget_dev = self._budget_dev.at[slots_d].set(buds_d)
+            self._active_dev = self._active_dev.at[slots_d].set(
+                (toks != self.eos_id) & (buds_d > 0))
+            self._temp_dev = self._temp_dev.at[slots_d].set(
+                jnp.asarray([r.temperature for r in group], jnp.float32))
+            self._topk_dev = self._topk_dev.at[slots_d].set(
+                jnp.asarray([r.top_k for r in group], jnp.int32))
+            self._topp_dev = self._topp_dev.at[slots_d].set(
+                jnp.asarray([r.top_p for r in group], jnp.float32))
             self._pending_admits.append((group, slots, toks))
             for r, slot in zip(group, slots):
                 self.slot_req[slot] = r
@@ -488,7 +520,15 @@ class DecodeEngine:
                 self._emit(slot, int(vals[i]))
         self._pending_admits.clear()
 
-    def _decode_step(self):
+    def _issue(self):
+        """Issue ONE decode dispatch from the device-resident lane state.
+
+        No host sync happens here: the lane carry (tokens/counts/active/
+        budget) lives on device, so dispatch i+1 can launch while the host
+        is still waiting on dispatch i's tokens (``_harvest_to``).  Host
+        bookkeeping (budgets for the horizon, ``cur``) may lag the device by
+        up to ``pipeline_depth`` dispatches — the device carry is the ground
+        truth and lags only cost bounded wasted scan steps."""
         k = self.steps_per_dispatch
         if k > 1:
             # cap the scan at the relevant retirement horizon: with requests
@@ -505,53 +545,54 @@ class DecodeEngine:
                 cap *= 2
             k = min(k, cap)
         if self.cur > self.S - k:
+            # compaction reads lane occupancy back to the host: drain the
+            # pipeline first so retired lanes' cells are already re-masked
+            self._harvest_to(0)
             self.gk, self.gv, self.amask, new_cur = _compact(
                 self.gk, self.gv, self.amask)
             self.cur = int(new_cur)
             if self.cur > self.S - k:  # genuinely full: lanes at capacity
                 raise RuntimeError(
                     f"cache capacity {self.S} exhausted by active lanes")
-        active = np.asarray([r is not None for r in self.slot_req])
         self._dispatch_no += 1
         rng = jax.random.fold_in(self._key, self._dispatch_no)
-        temp = jnp.asarray(self.temp)
-        topk = jnp.asarray(self.topk)
-        topp = jnp.asarray(self.topp)
-        # token inputs come from the device mirror (_admit scatters first
-        # tokens in asynchronously); the prefill sync happens in
-        # _flush_admits AFTER this dispatch, overlapping the decode scan
-        if k == 1:
-            new_tok, self.gk, self.gv, self.amask = _step(
-                self.base, self.adapters, self.gk, self.gv, self.amask,
-                self._tokens_dev, jnp.asarray(self.counts),
-                jnp.asarray(active), jnp.asarray(self.cur, jnp.int32),
-                rng, temp, topk, topp,
-                cfg=self.cfg, spec=self.spec,
-                paged_decode=self.paged_decode)
-            self._flush_admits()
-            toks = np.asarray(new_tok)[None]  # one host sync per dispatch
-        else:
-            toks_d, self.gk, self.gv, self.amask = _step_multi(
-                self.base, self.adapters, self.gk, self.gv, self.amask,
-                self._tokens_dev, jnp.asarray(self.counts),
-                jnp.asarray(active), jnp.asarray(self.budget),
-                jnp.asarray(self.cur, jnp.int32),
-                rng, temp, topk, topp,
-                cfg=self.cfg, spec=self.spec,
-                paged_decode=self.paged_decode, n_steps=k,
-                eos_id=self.eos_id)
-            self._flush_admits()
-            toks = np.asarray(toks_d)  # (k, slots)
+        (toks_d, self._tokens_dev, self._counts_dev, self._active_dev,
+         self._budget_dev, self.gk, self.gv, self.amask) = _step_multi(
+            self.base, self.adapters, self.gk, self.gv, self.amask,
+            self._tokens_dev, self._counts_dev, self._active_dev,
+            self._budget_dev, jnp.asarray(self.cur, jnp.int32),
+            rng, self._temp_dev, self._topk_dev, self._topp_dev,
+            cfg=self.cfg, spec=self.spec,
+            paged_decode=self.paged_decode, n_steps=k,
+            eos_id=self.eos_id)
+        # snapshot WHICH request occupied each slot at issue time: harvest
+        # emits a row to a slot only while the same request still owns it
+        # (a lane retired+re-admitted between issue and harvest must not
+        # leak the old occupant's repeated rows into the new request)
+        self._inflight.append((toks_d, list(self.slot_req)))
         self.cur += k
-        for i in range(toks.shape[0]):
-            for slot in range(self.n_slots):
-                # skip lanes that were empty at dispatch or retired at an
-                # earlier micro-step (their rows repeat the last token) —
-                # including lanes whose deferred first token already
-                # finished the request in _flush_admits
-                if self.slot_req[slot] is None or not active[slot]:
-                    continue
-                self.counts[slot] += 1
-                self.tokens[slot] = int(toks[i, slot])
-                self._emit(slot, int(toks[i, slot]))
-        self._tokens_dev = jnp.asarray(self.tokens)
+        # prefill-token sync AFTER the dispatch is in flight (overlaps it)
+        self._flush_admits()
+
+    def _harvest_to(self, depth: int):
+        """Emit tokens of in-flight dispatches until <= ``depth`` remain."""
+        while len(self._inflight) > depth:
+            toks_d, snapshot = self._inflight.popleft()
+            toks = np.asarray(toks_d)  # the one host sync per dispatch
+            for i in range(toks.shape[0]):
+                for slot in range(self.n_slots):
+                    # skip lanes that were empty at issue, retired at an
+                    # earlier micro-step (their rows repeat the last token),
+                    # or re-admitted to a new request since issue
+                    if snapshot[slot] is None or \
+                            self.slot_req[slot] is not snapshot[slot]:
+                        continue
+                    self.counts[slot] += 1
+                    self.tokens[slot] = int(toks[i, slot])
+                    self._emit(slot, int(toks[i, slot]))
+
+    def _decode_step(self):
+        """One issue + harvest-to-depth cycle (kept for tests/tools that
+        drive the engine manually)."""
+        self._issue()
+        self._harvest_to(self.pipeline_depth)

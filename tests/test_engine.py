@@ -412,3 +412,29 @@ def test_engine_early_readmission(model):
     # prompt bucket 16 + two capped dispatches of <=2 steps each lane;
     # uncapped scans would advance cur to 16 + 16*2 = 48
     assert eng.cur <= 16 + 4 * 2, eng.cur
+
+
+def test_engine_pipeline_depth_invariance(model):
+    """Pipelined dispatches (device-carried lane state, host sync overlapped
+    with the next dispatch) must not change ANY output: ragged budgets,
+    eos-capable decoding, slot reuse across 3x more requests than slots —
+    identical across pipeline_depth 0 (round-3 unpipelined), 1 (default),
+    and 2, with single- and multi-step dispatches."""
+    base, adapters = model
+    prompts = _prompts(seed=9, n=6)
+    rng = np.random.default_rng(9)
+    budgets = [int(b) for b in rng.integers(1, 14, len(prompts))]
+
+    def run(depth, k):
+        eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=2,
+                           cache_capacity=64, eos_id=EOS, use_flash=False,
+                           cache_dtype=jnp.float32, pipeline_depth=depth,
+                           steps_per_dispatch=k)
+        futs = [_submit(eng, base, p, b) for p, b in zip(prompts, budgets)]
+        eng.run_until_drained()
+        return [_strip(f.get(timeout=1)) for f in futs]
+
+    ref = run(0, 1)
+    for depth in (1, 2):
+        for k in (1, 4):
+            assert run(depth, k) == ref, (depth, k)
