@@ -62,10 +62,13 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _():
+        # q arrives pre-scaled by 1/sqrt(hd) (folded once per call in the
+        # wrapper — one (L, hd) pass instead of a (bq, bk) pass per block;
+        # these kernels are VPU-bound, so score-matrix passes are the cost)
         q = q_ref[0]
         k = k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
         m_prev = m_scr[:, 0]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -106,11 +109,11 @@ def _bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0]
+        q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
         lse_row = lse_ref[0, 0][:, None]
         # a fully-masked query row has lse = NEG_INF, making exp(s - lse) = 1
@@ -151,11 +154,11 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0]
+        q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32)
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
         lse_row = lse_ref[0, 0][:, None]
         p = jnp.where(lse_row > NEG_INF * 0.5,
@@ -168,9 +171,10 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0][:, None])
+        # no trailing *scale: the pre-scaled q already carries it
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32)
 
     @pl.when(qb == nq - 1)
     def _():
@@ -181,9 +185,9 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
 # ------------------------------------------------------------- wrapper ----
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9))
+                   nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, attn_mask, q_offset, causal, scale, block_q, block_k,
-           interpret):
+           bwd_block_q, bwd_block_k, interpret):
     out, _ = _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale,
                             block_q, block_k, interpret)
     return out
@@ -215,6 +219,7 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     q_block, kv_block, mask_block = _specs(B, H, KH, L, S, hd, bq, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q = (q * jnp.asarray(scale, q.dtype))  # folded 1/sqrt(hd), see kernel
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal, scale=scale,
@@ -249,7 +254,7 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
 
 
 def _flash_vjp_fwd(q, k, v, attn_mask, q_offset, causal, scale, block_q,
-                   block_k, interpret):
+                   block_k, bwd_block_q, bwd_block_k, interpret):
     out, lse = _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale,
                               block_q, block_k, interpret)
     # Named so remat save policies can keep the residuals and skip the
@@ -273,7 +278,7 @@ def _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     bq, bk = min(block_q, L), min(block_k, S)
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q_r = q.reshape(B * H, L, hd)
+    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)
@@ -316,7 +321,7 @@ def _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     bq, bk = min(block_q, L), min(block_k, S)
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q_r = q.reshape(B * H, L, hd)
+    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)
@@ -360,14 +365,16 @@ def _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     return dk, dv
 
 
-def _flash_vjp_bwd(causal, scale, block_q, block_k, interpret, res, dout):
+def _flash_vjp_bwd(causal, scale, block_q, block_k, bwd_block_q,
+                   bwd_block_k, interpret, res, dout):
     q, k, v, attn_mask, q_offset, out, lse = res
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)  # (B, H, L)
     dq = _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset,
-                       causal, scale, block_q, block_k, interpret)
+                       causal, scale, bwd_block_q, bwd_block_k, interpret)
     dk, dv = _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset,
-                            causal, scale, block_q, block_k, interpret)
+                            causal, scale, bwd_block_q, bwd_block_k,
+                            interpret)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
@@ -375,10 +382,18 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
-              block_k=512, interpret=None):
+              block_k=512, bwd_block_q=1024, bwd_block_k=1024,
+              interpret=None):
     """Drop-in for ``ops.attention.mha``: q (b, L, H, hd), k/v (b, S, K, hd),
     attn_mask (b, S) validity, q_offset = position of query 0 in the key
     axis.  Returns (b, L, H, hd).
+
+    The backward kernels take their own (larger) block sizes: the on-chip
+    sweep at the flagship shape (exp_flash_tune.py, B4 H32 L1024 hd128)
+    puts the forward fastest at 512x512 but the dq/dkv pair ~40% faster at
+    1024x1024 (fewer grid revisits of the fp32 accumulator scratch beats
+    the lost causal-block skipping there) — mixing both bests cuts the
+    fwd+bwd pair ~16% per call.  Blocks are clamped to the actual (L, S).
 
     Ragged lengths are padded up to the block size here (Pallas clamps
     out-of-range tail blocks, which would desync the position ids inside the
@@ -390,6 +405,15 @@ def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
     bq, bk = min(block_q, L), min(block_k, S)
     Lp = -(-L // bq) * bq
     Sp = -(-S // bk) * bk
+    # the bwd pair may only use its larger blocks where they divide the
+    # padded length (a ragged tail block would desync the position ids);
+    # otherwise it falls back to the forward blocks
+    bwd_bq = min(bwd_block_q, Lp)
+    bwd_bk = min(bwd_block_k, Sp)
+    if Lp % bwd_bq:
+        bwd_bq = bq
+    if Sp % bwd_bk:
+        bwd_bk = bk
     if Lp != L:
         q = jnp.pad(q, ((0, 0), (0, Lp - L), (0, 0), (0, 0)))
     if Sp != S:
@@ -399,5 +423,5 @@ def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
     scale = 1.0 / (hd ** 0.5)
     out = _flash(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                  v.transpose(0, 2, 1, 3), attn_mask, q_offset, causal,
-                 scale, block_q, block_k, interpret)
+                 scale, block_q, block_k, bwd_bq, bwd_bk, interpret)
     return out.transpose(0, 2, 1, 3)[:, :L]

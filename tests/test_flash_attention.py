@@ -57,7 +57,7 @@ def test_grad_parity():
 
     def loss_flash(q, k, v):
         o = flash_mha(q, k, v, mask, block_q=8, block_k=8,
-                      interpret=True) * vq
+                      bwd_block_q=8, bwd_block_k=8, interpret=True) * vq
         return jnp.sum(o * o)
 
     g_e = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
@@ -87,7 +87,7 @@ def test_fully_masked_rows_zero_gradient():
 
     def f(q_, k_, v_):
         out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
-                        interpret=True)
+                        bwd_block_q=4, bwd_block_k=4, interpret=True)
         return jnp.sum(out)  # nonzero cotangent on EVERY row incl. masked
 
     dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
@@ -101,7 +101,7 @@ def test_fully_masked_rows_zero_gradient():
 
     def f_flash_valid(q_, k_, v_):
         out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
-                        interpret=True)
+                        bwd_block_q=4, bwd_block_k=4, interpret=True)
         return jnp.sum(out * jnp.asarray(mask, np.float32)[:, :, None, None])
 
     want = jax.grad(f_eager, argnums=(1, 2))(q, k, v)
@@ -109,3 +109,52 @@ def test_fully_masked_rows_zero_gradient():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bwd_block", [8, 16, 1024])
+def test_grad_parity_mixed_bwd_blocks(bwd_block):
+    """Backward-pair block sizes independent of the forward's (the flagship
+    runs fwd 512x512 / bwd 1024x1024 per the on-chip sweep): grads must
+    match eager for bwd blocks smaller, equal, and clamped-larger than L,
+    including the divisibility fallback on ragged lengths."""
+    q, k, v, mask = _data(L=16, S=16)
+    vq = jnp.asarray(np.asarray(mask), jnp.float32)[:, :, None, None]
+
+    def loss_eager(q, k, v):
+        o = mha(q, k, v, causal_bias(mask, 16, 16)) * vq
+        return jnp.sum(o * o)
+
+    def loss_flash(q, k, v):
+        o = flash_mha(q, k, v, mask, block_q=8, block_k=8,
+                      bwd_block_q=bwd_block, bwd_block_k=bwd_block,
+                      interpret=True) * vq
+        return jnp.sum(o * o)
+
+    g_e = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_e, g_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
+                                   atol=3e-4)
+
+
+def test_grad_parity_ragged_bwd_fallback():
+    """L=12 with fwd blocks 4 (padded L stays 12) and bwd_block 8: 8 does
+    not divide 12, so the bwd pair falls back to the forward blocks —
+    grads still match eager."""
+    q, k, v, mask = _data(L=12, S=12)
+    vq = jnp.asarray(np.asarray(mask), jnp.float32)[:, :, None, None]
+
+    def loss_eager(q, k, v):
+        o = mha(q, k, v, causal_bias(mask, 12, 12)) * vq
+        return jnp.sum(o * o)
+
+    def loss_flash(q, k, v):
+        o = flash_mha(q, k, v, mask, block_q=4, block_k=4,
+                      bwd_block_q=8, bwd_block_k=8, interpret=True) * vq
+        return jnp.sum(o * o)
+
+    g_e = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_e, g_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
+                                   atol=3e-4)
