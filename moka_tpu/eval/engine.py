@@ -350,9 +350,11 @@ class DecodeEngine:
                 with self._lock:
                     self._admit()
                     busy = any(self.slot_req)
-                    if busy:
-                        self._issue()
-                    self._harvest_to(self.pipeline_depth if busy else 0)
+                    issued = self._issue() if busy else False
+                    depth = self.pipeline_depth if busy else 0
+                    if not issued:
+                        depth = min(depth, max(0, len(self._inflight) - 1))
+                    self._harvest_to(depth)
                     busy = busy or bool(self._inflight)
             except Exception:
                 # fail every waiter instead of hanging clients, then exit
@@ -378,13 +380,18 @@ class DecodeEngine:
         while (self.pending or any(self.slot_req) or self._inflight) \
                 and steps < max_steps:
             self._admit()
+            issued = False
             if any(self.slot_req):
-                self._issue()
-                steps += 1
+                issued = self._issue()
+                steps += int(issued)
             # keep at most pipeline_depth dispatches unharvested while more
-            # work exists; drain fully once the host view goes idle
-            self._harvest_to(
-                self.pipeline_depth if any(self.slot_req) else 0)
+            # work exists; drain fully once the host view goes idle — and
+            # force progress when _issue declined (all owed tokens already
+            # in flight)
+            depth = self.pipeline_depth if any(self.slot_req) else 0
+            if not issued:
+                depth = min(depth, max(0, len(self._inflight) - 1))
+            self._harvest_to(depth)
         return steps
 
     # -- scheduler internals -------------------------------------------------
@@ -527,9 +534,18 @@ class DecodeEngine:
         budget) lives on device, so dispatch i+1 can launch while the host
         is still waiting on dispatch i's tokens (``_harvest_to``).  Host
         bookkeeping (budgets for the horizon, ``cur``) may lag the device by
-        up to ``pipeline_depth`` dispatches — the device carry is the ground
-        truth and lags only cost bounded wasted scan steps."""
+        up to ``pipeline_depth`` dispatches — the horizon below subtracts
+        the in-flight steps so the lag cannot issue whole wasted scans
+        (measured: at k=64 un-adjusted pipelining LOST to unpipelined
+        because each stale tail dispatch burned 64 dead-lane steps).
+
+        Returns False (and issues nothing) when every token still owed by
+        the active lanes is already covered by in-flight dispatches — the
+        caller should harvest instead."""
         k = self.steps_per_dispatch
+        # steps already dispatched but not yet harvested: the host budgets
+        # below don't know about them yet
+        inflight_steps = sum(t.shape[0] for t, _ in self._inflight)
         if k > 1:
             # cap the scan at the relevant retirement horizon: with requests
             # queued, the SOONEST lane retirement (early re-admission — the
@@ -537,13 +553,23 @@ class DecodeEngine:
             # otherwise the LATEST (steps past every lane's budget are pure
             # waste).  Rounded up to a power of two to bound the set of
             # compiled _step_multi executables at log2(steps_per_dispatch).
-            budgets = [self.budget[i]
-                       for i, r in enumerate(self.slot_req) if r is not None]
-            horizon = min(budgets) if self.pending else max(budgets)
+            remaining = [self.budget[i] - inflight_steps
+                         for i, r in enumerate(self.slot_req)
+                         if r is not None]
+            owed = [r for r in remaining if r > 0]
+            if not owed:
+                if self._inflight:
+                    return False
+                owed = [1]  # unreachable in practice; keep k minimal
+            horizon = min(owed) if self.pending else max(owed)
             cap = 1
             while cap < max(1, horizon):
                 cap *= 2
             k = min(k, cap)
+        elif self._inflight and not any(
+                self.budget[i] - inflight_steps > 0
+                for i, r in enumerate(self.slot_req) if r is not None):
+            return False
         if self.cur > self.S - k:
             # compaction reads lane occupancy back to the host: drain the
             # pipeline first so retired lanes' cells are already re-masked
@@ -573,6 +599,7 @@ class DecodeEngine:
         self.cur += k
         # prefill-token sync AFTER the dispatch is in flight (overlaps it)
         self._flush_admits()
+        return True
 
     def _harvest_to(self, depth: int):
         """Emit tokens of in-flight dispatches until <= ``depth`` remain."""
@@ -594,5 +621,6 @@ class DecodeEngine:
     def _decode_step(self):
         """One issue + harvest-to-depth cycle (kept for tests/tools that
         drive the engine manually)."""
-        self._issue()
-        self._harvest_to(self.pipeline_depth)
+        issued = self._issue()
+        self._harvest_to(self.pipeline_depth if issued
+                         else max(0, len(self._inflight) - 1))

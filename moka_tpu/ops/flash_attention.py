@@ -182,6 +182,95 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                      lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, *,
+                      causal, scale, kv_len):
+    """Whole-sequence backward: dq, dk, dv in ONE kernel body.
+
+    Used when the padded (L, S) fits a single (bwd_block_q, bwd_block_k)
+    block — the flagship shape (L=1024).  The separate dq/dkv kernels each
+    rebuild the score matrix, its masking, the softmax exp, and the dp dot
+    (7 block dots + 2 exp passes per (bh)); with one visit per output this
+    computes them once (5 dots + 1 exp).  These kernels are VPU-bound, so
+    halving the score-matrix passes is the point."""
+    q_ids = _ids(qoff_ref[0], q_ref.shape[1], 0)
+    k_ids = _ids(0, k_ref.shape[1], 0)
+    q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len),
+                  s, NEG_INF)
+    lse_row = lse_ref[0, 0][:, None]
+    p = jnp.where(lse_row > NEG_INF * 0.5, jnp.exp(s - lse_row), 0.0)
+    do = do_ref[0]
+    pb = p.astype(do.dtype)
+    dv_ref[0] = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta_ref[0, 0][:, None])
+    dsb = ds.astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        dsb, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    # no trailing *scale on dk: the pre-scaled q already carries it
+    dk_ref[0] = jax.lax.dot_general(
+        dsb, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
+                     scale, interpret):
+    """Single-block fused backward: (dq, dk, dv) with dk/dv fp32
+    GQA-group-summed, same contract as ``_flash_bwd_dq``+``_flash_bwd_dkv``."""
+    B, H, L, hd = q.shape
+    KH, S = k.shape[1], k.shape[2]
+    G = H // KH
+    qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
+    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
+    k_r = k.reshape(B * KH, S, hd)
+    v_r = v.reshape(B * KH, S, hd)
+    do_r = dout.reshape(B * H, L, hd)
+    lse_r = lse.reshape(B * H, 1, L)
+    delta_r = delta.reshape(B * H, 1, L)
+    mask_i = attn_mask.astype(jnp.int32)[:, None, :]
+
+    kv_spec = pl.BlockSpec((1, S, hd),
+                           lambda bh, H=H, KH=KH, G=G:
+                           ((bh // H) * KH + (bh % H) // G, 0, 0))
+    q_spec = pl.BlockSpec((1, L, hd), lambda bh: (bh, 0, 0))
+    row_spec = pl.BlockSpec((1, 1, L), lambda bh: (bh, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, causal=causal, scale=scale,
+                          kv_len=S),
+        grid=(B * H,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            q_spec, kv_spec, kv_spec,
+            pl.BlockSpec((1, 1, S), lambda bh, H=H: (bh // H, 0, 0)),
+            q_spec, row_spec, row_spec,
+        ],
+        out_specs=[q_spec,
+                   pl.BlockSpec((1, S, hd), lambda bh: (bh, 0, 0)),
+                   pl.BlockSpec((1, S, hd), lambda bh: (bh, 0, 0))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, L, hd), q.dtype),
+            jax.ShapeDtypeStruct((B * H, S, hd), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, S, hd), jnp.float32),
+        ],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(qoff, q_r, k_r, v_r, mask_i, do_r, lse_r, delta_r)
+    dq = dq.reshape(B, H, L, hd)
+    dk = dk.reshape(B, KH, G, S, hd).sum(axis=2)
+    dv = dv.reshape(B, KH, G, S, hd).sum(axis=2)
+    return dq, dk, dv
+
+
 # ------------------------------------------------------------- wrapper ----
 
 @functools.partial(jax.custom_vjp,
@@ -370,11 +459,18 @@ def _flash_vjp_bwd(causal, scale, block_q, block_k, bwd_block_q,
     q, k, v, attn_mask, q_offset, out, lse = res
     delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)  # (B, H, L)
-    dq = _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset,
-                       causal, scale, bwd_block_q, bwd_block_k, interpret)
-    dk, dv = _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset,
-                            causal, scale, bwd_block_q, bwd_block_k,
-                            interpret)
+    if bwd_block_q >= q.shape[2] and bwd_block_k >= k.shape[2]:
+        # whole sequence in one block (the flagship L=1024): fused kernel
+        # computes s/p/dp once for all three grads instead of twice
+        dq, dk, dv = _flash_bwd_fused(q, k, v, attn_mask, dout, lse, delta,
+                                      q_offset, causal, scale, interpret)
+    else:
+        dq = _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset,
+                           causal, scale, bwd_block_q, bwd_block_k,
+                           interpret)
+        dk, dv = _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta,
+                                q_offset, causal, scale, bwd_block_q,
+                                bwd_block_k, interpret)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 

@@ -75,7 +75,8 @@ def test_ragged_lengths():
     _cmp(got, want, mask, rtol=2e-5, atol=2e-5)
 
 
-def test_fully_masked_rows_zero_gradient():
+@pytest.mark.parametrize("bwd_block", [4, 1024])
+def test_fully_masked_rows_zero_gradient(bwd_block):
     """ADVICE r1: a valid query row whose entire causal window is masked
     (lse = -inf) must contribute ZERO gradient even when dout is nonzero on
     it — previously exp(s - lse) collapsed to 1 across the block and leaked
@@ -87,7 +88,8 @@ def test_fully_masked_rows_zero_gradient():
 
     def f(q_, k_, v_):
         out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
-                        bwd_block_q=4, bwd_block_k=4, interpret=True)
+                        bwd_block_q=bwd_block, bwd_block_k=bwd_block,
+                        interpret=True)
         return jnp.sum(out)  # nonzero cotangent on EVERY row incl. masked
 
     dq, dk, dv = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
@@ -101,7 +103,8 @@ def test_fully_masked_rows_zero_gradient():
 
     def f_flash_valid(q_, k_, v_):
         out = flash_mha(q_, k_, v_, mask_j, block_q=4, block_k=4,
-                        bwd_block_q=4, bwd_block_k=4, interpret=True)
+                        bwd_block_q=bwd_block, bwd_block_k=bwd_block,
+                        interpret=True)
         return jnp.sum(out * jnp.asarray(mask, np.float32)[:, :, None, None])
 
     want = jax.grad(f_eager, argnums=(1, 2))(q, k, v)
@@ -151,6 +154,30 @@ def test_grad_parity_ragged_bwd_fallback():
     def loss_flash(q, k, v):
         o = flash_mha(q, k, v, mask, block_q=4, block_k=4,
                       bwd_block_q=8, bwd_block_k=8, interpret=True) * vq
+        return jnp.sum(o * o)
+
+    g_e = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_e, g_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
+                                   atol=3e-4)
+
+
+def test_grad_parity_fused_padded():
+    """Fused single-block backward with ragged L (13 -> padded 16): padded
+    query rows carry zero cotangent through the slice VJP and must not
+    perturb dq/dk/dv."""
+    q, k, v, mask = _data(L=13, S=13)
+    vq = jnp.asarray(np.asarray(mask), jnp.float32)[:, :, None, None]
+
+    def loss_eager(q, k, v):
+        o = mha(q, k, v, causal_bias(mask, 13, 13)) * vq
+        return jnp.sum(o * o)
+
+    def loss_flash(q, k, v):
+        o = flash_mha(q, k, v, mask, block_q=8, block_k=8,
+                      bwd_block_q=1024, bwd_block_k=1024,
+                      interpret=True) * vq
         return jnp.sum(o * o)
 
     g_e = jax.grad(loss_eager, argnums=(0, 1, 2))(q, k, v)
