@@ -67,6 +67,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="decode steps scanned per device dispatch in the "
                         "continuous engine (amortizes per-dispatch host "
                         "sync; admission latency grows with it)")
+    p.add_argument("--pipeline-depth", type=int, default=1,
+                   help="decode dispatches kept in flight before the host "
+                        "reads their tokens (0 disables pipelining; the "
+                        "default overlaps the per-dispatch host sync with "
+                        "the next on-device scan)")
     p.add_argument("--serve", action="store_true",
                    help="start the micro-batching HTTP server instead of "
                         "offline JSONL inference")
@@ -218,7 +223,7 @@ def main(argv=None):
             cache_capacity=args.pad_to + args.max_new_tokens,
             eos_id=tok.eos_id, pad_id=tok.pad_id,
             steps_per_dispatch=args.steps_per_dispatch,
-            kv_quant=args.kv_quant)
+            kv_quant=args.kv_quant, pipeline_depth=args.pipeline_depth)
 
         def prep(item):
             ids = np.asarray(t.encode(item["prompt"]), np.int64)
