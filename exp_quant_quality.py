@@ -10,7 +10,7 @@ adapters must actually learn (answer token = question token + K, routed
 through modality masks so the full MokA path is exercised).
 
 Usage:
-    python exp_quant_quality.py --one bf16|int8|int4 [--scale tiny|1b] [--seed N]
+    python exp_quant_quality.py --one bf16|int8|int4 [--scale tiny|1b] [--seed N] [--steps K]
     python exp_quant_quality.py --one enc8 [--scale 1b]   # encoder arm
     python exp_quant_quality.py [--scale 1b] [--seeds K]  # full sweep,
         K seeds per arm, mean +/- std table (VERDICT r3 item 6)
@@ -352,11 +352,13 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     scale = args[args.index("--scale") + 1] if "--scale" in args else "tiny"
     seed = int(args[args.index("--seed") + 1]) if "--seed" in args else 0
+    steps = int(args[args.index("--steps") + 1]) if "--steps" in args \
+        else None
     if "--one" in args:
         variant = args[args.index("--one") + 1]
         fn = run_encoder_variant if variant.startswith("enc") else \
             run_variant
-        print(json.dumps(fn(variant, scale, seed=seed)))
+        print(json.dumps(fn(variant, scale, seed=seed, steps=steps)))
     else:
         seeds = int(args[args.index("--seeds") + 1]) if "--seeds" in args \
             else 1
