@@ -381,6 +381,153 @@ def run_one_mm(name: str) -> None:
                                     quantize_encoders=qe)))
 
 
+def run_vt(cfg_name, vcfg, batch, seqlen, quantize, remat_policy=None,
+           a8_dots=False, quantize_head=False, quantize_encoders=False,
+           rng_impl="rbg"):
+    """FULL VT (bi-modal image/text, LLaVA-family) fine-tune step at
+    flagship scale: CLIP ViT-L/14 forward (frozen), the trainable visual
+    projector fwd+bwd, the feature splice, and the MokA-VT LLaMA step —
+    the step the reference's VisualText recipe pays
+    (``VisualText``: LLaVA + modified-peft MokA ``Linear``; hot loop
+    SURVEY §3.1).  Mirrors ``run_multimodal`` minus the audio tower."""
+    import jax
+    _enable_compile_cache()
+    import jax.numpy as jnp
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.data.vt_dataset import build_vt_sample, collate_vt
+    from moka_tpu.models import llama as llama_mod
+    from moka_tpu.models import llava
+    from moka_tpu.models.clip_vit import init_clip_params
+    from moka_tpu.ops.quant import init_llama_params_quantized
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    frozen = {
+        "llama": init_llama_params_quantized(
+            k1, vcfg.llama, bits=quantize,
+            head_bits=(8 if quantize_head is True else quantize_head or None))
+        if quantize else
+        llama_mod.init_llama_params(k1, vcfg.llama, dtype=jnp.bfloat16),
+        "clip": init_clip_params(k2, vcfg.clip, dtype=jnp.bfloat16),
+    }
+    if quantize_encoders:
+        from moka_tpu.ops.quant import quantize_encoder
+        frozen["clip"] = quantize_encoder(frozen["clip"],
+                                          bits=quantize_encoders)
+    trainable = llava.init_trainable(k3, vcfg)
+
+    b, L = batch, seqlen
+    nq = vcfg.projector.num_query_tokens
+    ph, pad = vcfg.llama.vocab_size - 1, 0
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(b):
+        pre = rng.integers(4, 1000, 16 + i).tolist()
+        q = rng.integers(4, 1000, 32).tolist()
+        n_ans = L - (len(pre) + nq + len(q)) - 8 - i
+        ans = rng.integers(4, 1000, n_ans).tolist()
+        ids = np.asarray(pre + [ph] * nq + q + ans)
+        labels = np.asarray([-100] * (len(pre) + nq + len(q)) + ans)
+        samples.append(build_vt_sample(ids, labels, ph, pad,
+                                       num_image_tokens=nq))
+    batch_d = collate_vt(samples, pad_id=pad, pad_to=L)
+    img = vcfg.clip.image_size
+    batch_d["pixel_values"] = rng.standard_normal(
+        (b, 3, img, img)).astype(np.float32)
+    batch_d = {k: jnp.asarray(v) for k, v in batch_d.items()}
+
+    loss_fn = llava.llava_loss(vcfg, remat=True, use_flash=True,
+                               fused_loss=True, remat_policy=remat_policy,
+                               a8_dots=a8_dots)
+    tx = make_optimizer(TrainConfig(), total_steps=1000)
+    key = jax.random.key(0) if rng_impl is None else \
+        jax.random.key(0, impl=rng_impl)
+    state = init_train_state(trainable, tx, key)
+    step = make_train_step(loss_fn, tx, donate=True)
+
+    for _ in range(3):
+        state, m = step(state, frozen, batch_d)
+    float(m["loss"])
+    windows = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            state, m = step(state, frozen, batch_d)
+        float(m["loss"])  # sync (see run_multimodal)
+        windows.append((time.perf_counter() - t0) / 4)
+    dt = min(windows)
+    t0 = time.perf_counter()
+    for _ in range(60):
+        state, m = step(state, frozen, batch_d)
+    float(m["loss"])
+    dt_sustained = (time.perf_counter() - t0) / 60
+
+    def _count(tree, quantized=False):
+        if quantized:
+            return sum(int(np.prod(x.shape)) * (2 if x.dtype == np.uint8
+                                                else 1)
+                       for x in jax.tree.leaves(tree)
+                       if x.ndim >= 2 and "float32" not in str(x.dtype))
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    p_llama = _count(frozen["llama"], quantized=bool(quantize))
+    p_clip = _count(frozen["clip"], quantized=bool(quantize_encoders))
+    p_proj = _count(trainable["projector"])
+    clip_tokens = b * (vcfg.clip.n_patches + 1)
+    proj_tokens = b * (nq + vcfg.clip.n_patches)
+    step_flops = (6 * p_llama * b * L + 2 * p_clip * clip_tokens
+                  + 6 * p_proj * proj_tokens)
+    assert step_flops / dt < 4e14, (
+        f"impossible rate {step_flops / dt:.3g} FLOP/s — timing desync")
+    return {
+        "config": cfg_name,
+        "scope": "full VT step: CLIP fwd, projector fwd+bwd, splice, "
+                 "MokA-VT LLaMA fwd+bwd",
+        "params_llama": p_llama, "params_clip": p_clip,
+        "params_projector": p_proj,
+        "batch": b, "seqlen": L, "image_tokens": nq,
+        "step_time_s": dt,
+        "window_step_times_s": [round(w, 4) for w in windows],
+        "tokens_per_sec": b * L / dt,
+        "sustained_step_time_s": dt_sustained,
+        "sustained_tokens_per_sec": b * L / dt_sustained,
+        "sustained_steps": 60,
+        "step_flops": step_flops,
+        "model_flops_per_sec": step_flops / dt,
+        "device": str(jax.devices()[0]),
+        "quantized_base": quantize, "remat_policy": remat_policy,
+        "a8_dots": a8_dots, "quantized_head": quantize_head,
+        "quantized_encoders": quantize_encoders,
+    }
+
+
+def _vt_candidates():
+    from moka_tpu.models import llava
+    import dataclasses as _dc
+    cfg = llava.LlavaConfig.vt_7b()
+    cfg = _dc.replace(cfg, spec=cfg.spec.with_bf16_dots())
+    return {
+        # one tower (CLIP) instead of two: the text-only flagship policy
+        # (proj_nokv_lse) fits again, unlike the AVT multimodal step
+        "vt_7b_int4a8f_qh_qenc": (cfg, 4, 1024, 4, "proj_nokv_lse", "full",
+                                  8, 8),
+        "vt_7b_int4a8f_qh": (cfg, 4, 1024, 4, "proj_nokv_lse", "full", 8),
+        "vt_7b_int4": (cfg, 4, 1024, 4, "qkvod_lse", False),
+        "vt_7b_int8": (cfg, 4, 1024, 8, "qkvod_lse", False),
+    }
+
+
+def run_one_vt(name: str) -> None:
+    v = _vt_candidates()[name]
+    vcfg, b, L, quant, pol, a8 = v[:6]
+    qh = v[6] if len(v) > 6 else False
+    qe = v[7] if len(v) > 7 else False
+    print(json.dumps(run_vt(name, vcfg, b, L, quant, remat_policy=pol,
+                            a8_dots=a8, quantize_head=qh,
+                            quantize_encoders=qe)))
+
+
 def _candidates():
     # Ordered by likelihood of fitting one v5e chip (16 GB): the 7B-int8
     # flagship runs with the round-2 tuned recipe (qkvod remat policy =
@@ -516,5 +663,7 @@ if __name__ == "__main__":
         run_one(sys.argv[2])
     elif len(sys.argv) > 2 and sys.argv[1] == "--run-one-mm":
         run_one_mm(sys.argv[2])
+    elif len(sys.argv) > 2 and sys.argv[1] == "--run-one-vt":
+        run_one_vt(sys.argv[2])
     else:
         main()

@@ -115,7 +115,8 @@ def _masks(batch: dict) -> llama.MaskBundle:
 
 def llava_loss(cfg: LlavaConfig, remat: bool = True,
                use_flash: bool = False, fused_loss: bool = False,
-               remat_policy: str | None = None):
+               remat_policy: str | None = None,
+               a8_dots: bool | str = False):
     def loss_fn(trainable, frozen, batch, rng):
         embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
         out, _ = llama.forward(
@@ -124,11 +125,12 @@ def llava_loss(cfg: LlavaConfig, remat: bool = True,
             attn_mask=batch.get("attn_mask"),
             positions=batch.get("positions"), remat=remat,
             remat_policy=remat_policy,
-            use_flash=use_flash, logits=not fused_loss,
+            use_flash=use_flash, logits=not fused_loss, a8_dots=a8_dots,
             dropout_rng=rng if cfg.spec.dropout_rate > 0 else None)
         if fused_loss:
             loss = llama.chunked_cross_entropy(
-                out, frozen["llama"]["lm_head"], batch["labels"])
+                out, frozen["llama"]["lm_head"], batch["labels"],
+                a8=a8_dots)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         return loss, {"supervised_tokens": jnp.sum(batch["labels"] != -100)}
