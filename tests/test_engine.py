@@ -438,3 +438,47 @@ def test_engine_pipeline_depth_invariance(model):
     for depth in (1, 2):
         for k in (1, 4):
             assert run(depth, k) == ref, (depth, k)
+
+
+def test_engine_threaded_stress(model):
+    """Server mode (daemon serve loop) under concurrent submission: three
+    submitter threads race 12 ragged requests against the pipelined
+    drain; every output must match the per-request reference and no
+    waiter may hang."""
+    import threading
+
+    base, adapters = model
+    prompts = _prompts(seed=11, n=12, lo=3, hi=9)
+    rng = np.random.default_rng(11)
+    budgets = [int(b) for b in rng.integers(1, 12, len(prompts))]
+
+    eng = DecodeEngine(base, adapters, cfg=CFG, spec=SPEC, n_slots=3,
+                       cache_capacity=64, eos_id=EOS, use_flash=False,
+                       cache_dtype=jnp.float32, steps_per_dispatch=4)
+    eng.start()
+    futs = [None] * len(prompts)
+
+    def submit(lo, hi):
+        for i in range(lo, hi):
+            futs[i] = _submit(eng, base, prompts[i], budgets[i])
+
+    threads = [threading.Thread(target=submit, args=(i * 4, i * 4 + 4))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    got = [_strip(f.get(timeout=60)) for f in futs]
+    eng.stop()
+
+    # reference: per-request greedy, truncated to each budget
+    ref = []
+    for p, b_ in zip(prompts, budgets):
+        embeds = jnp.take(base["embed"], jnp.asarray(p)[None], axis=0)
+        mask = jnp.ones((1, len(p)), jnp.float32)
+        toks = np.asarray(greedy_generate(
+            base, adapters, cfg=CFG, spec=SPEC, inputs_embeds=embeds,
+            prompt_mask=mask, masks=None, max_new_tokens=b_,
+            eos_id=EOS, pad_id=0, use_flash=False, paged_decode=False))[0]
+        ref.append(_strip(toks[:b_]))
+    assert got == ref, (got, ref)
