@@ -523,7 +523,8 @@ def cross_entropy_loss(logits: Array, labels: Array,
 def chunked_cross_entropy(h: Array, lm_head, labels: Array,
                           ignore_index: int = -100,
                           chunk: int = 128,
-                          a8: bool | str = False) -> Array:
+                          a8: bool | str = False,
+                          pallas_ce: bool = False) -> Array:
     """Shift-by-one CE fused with the lm_head projection, scanned over
     sequence chunks so the full fp32 (b, L, V) logits tensor never
     materializes (at the reference recipe's shapes that tensor is ~0.5 GB
@@ -533,8 +534,20 @@ def chunked_cross_entropy(h: Array, lm_head, labels: Array,
     ``lm_head`` may be an int8/int4-quantized dict (``quantize_llama_base``
     head_bits): the scan then re-reads half the head bytes, and with ``a8``
     the chunk dots ride the MXU int8 path (``head_logits``).
+
+    ``pallas_ce`` (int8 heads only) routes through the Pallas fused
+    lm_head+CE kernel (``ops/fused_ce.py``): logits never touch HBM at
+    all — the chunk scan's per-chunk logits round-trips disappear.
     """
     b, L, d = h.shape
+    if pallas_ce:
+        from moka_tpu.ops.quant import is_quantized
+        if not (is_quantized(lm_head) and "w_i8" in lm_head):
+            raise ValueError("pallas_ce requires an int8-quantized lm_head")
+        from moka_tpu.ops.fused_ce import fused_ce_loss
+        rows = h[:, :-1].reshape(b * (L - 1), d)
+        t = labels[:, 1:].reshape(b * (L - 1))
+        return fused_ce_loss(rows, lm_head, t, ignore_index=ignore_index)
     h = h[:, :-1]
     targets = labels[:, 1:]
     n = L - 1

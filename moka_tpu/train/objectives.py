@@ -19,7 +19,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          use_fused_moka: bool = False,
                          context_parallel=None,
                          ce_chunk: int = 128,
-                         a8_dots: bool | str = False):
+                         a8_dots: bool | str = False,
+                         pallas_ce: bool = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -50,7 +51,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
         if fused_loss:
             loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
                                                batch["labels"],
-                                               chunk=ce_chunk, a8=a8_dots)
+                                               chunk=ce_chunk, a8=a8_dots,
+                                               pallas_ce=pallas_ce)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         ntok = jnp.sum(batch["labels"] != -100)
