@@ -368,6 +368,9 @@ def _mm_candidates():
         "avt_7b_int4a8_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", True),
         "avt_7b_int4_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse", False),
         "avt_7b_int8": (cfg7b, 4, 1024, 8, "qkvod_lse", False),
+        # the 7B SERVING stack (bench_decode --engine-mm): int8 base +
+        # int8 head + int8 towers; decode rides int8-KV + paged
+        "avt_7b_int8_qenc": (cfg7b, 4, 1024, 8, "qkvod_lse", False, 8, 8),
         "avt_7b_int4_fullremat": (cfg7b, 4, 1024, 4, None, False),
     }
 
@@ -535,6 +538,7 @@ def _candidates():
     # flagship runs with the round-2 tuned recipe (qkvod remat policy =
     # save the narrow projection outputs, bf16-in/fp32-acc adapter einsums,
     # rbg dropout PRNG); 7B bf16 runs FSDP-sharded on >=2 chips.
+    import dataclasses as _dc
     from moka_tpu.core.config import LlamaConfig
     return {
         # flagship: int4-packed frozen base frees HBM for the proj_nokv_lse
@@ -564,6 +568,18 @@ def _candidates():
                                  True),
         "llama2_7b_int4": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            4, "proj_nokv_lse", True, "rbg", 256),
+        # long-context rows (VERDICT r4 weak 4): flagship recipe at L=4096
+        # with dynamic-NTK RoPE scaling active (seq > max_seq_len=2048 —
+        # reference modeling_llama.py:128-178), flash + question-window +
+        # assembler-shaped masks all exercised at 4k
+        "llama2_7b_int4a8_qh_L4096": (
+            _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
+                        rope_scaling=("dynamic", 2.0)), 1,
+            4096, 4, "proj_nokv_lse", True, "rbg", 256, "full", 8),
+        "llama2_7b_int4a8_qh_b2L4096": (
+            _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
+                        rope_scaling=("dynamic", 2.0)), 2,
+            4096, 4, "qkvod_lse", True, "rbg", 256, "full", 8),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            True, "qkvod_lse", True, "rbg", 256),
         "llama2_7b_int8_fullremat": (

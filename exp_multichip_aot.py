@@ -73,8 +73,28 @@ def _parse_collectives(hlo: str) -> dict:
     return out
 
 
+# Scale presets (VERDICT r4 item 5): the reference ships ZeRO-3 stage
+# configs for 34B/70B/100B bases (zero_stage3_config_70b.json:1-13,
+# zero_stage3_config_100b_1e7_offload.json:13-17); these audit that the
+# matching LlamaConfig presets GSPMD-compile reshard-clean at real shapes
+# on larger virtual meshes.  "70b_offload" is the 100B-class analog: the
+# (sharded) frozen base lives in pinned_host and XLA streams it per use.
+PRESETS = {
+    "7b": dict(cfg="llama2_7b", n_devices=8, data=1, fsdp=4, model=2,
+               batch=4, seqlen=1024, host_offload=False),
+    "13b": dict(cfg="llama2_13b", n_devices=8, data=1, fsdp=4, model=2,
+                batch=4, seqlen=1024, host_offload=False),
+    "70b": dict(cfg="llama2_70b", n_devices=16, data=1, fsdp=4, model=4,
+                batch=4, seqlen=1024, host_offload=False),
+    "70b_offload": dict(cfg="llama2_70b", n_devices=16, data=1, fsdp=4,
+                        model=4, batch=4, seqlen=1024, host_offload=True),
+}
+
+
 def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
-          data: int = 1, fsdp: int = 4, model: int = 2) -> dict:
+          data: int = 1, fsdp: int = 4, model: int = 2,
+          cfg_name: str = "llama2_7b", host_offload: bool = False,
+          preset: str = "7b") -> dict:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -102,16 +122,12 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
     mesh = meshlib.make_mesh(MeshConfig(data=data, fsdp=fsdp, model=model),
                              devices=jax.devices()[:n_devices])
 
-    # the r3/r4 flagship recipe (bench.py llama2_7b_int4a8_qh)
-    cfg = LlamaConfig.llama2_7b(vocab_size=32011)
+    # the r3/r4 flagship recipe (bench.py llama2_7b_int4a8_qh), applied at
+    # the preset's scale (int4 base + int8 head is how >=13B fits at all)
+    cfg = getattr(LlamaConfig, cfg_name)(vocab_size=32011)
     spec = (MokaSpec.avt(rank=4, dropout_rate=0.05).with_bf16_dots()
             .with_question_window(256))
     tx = make_optimizer(TrainConfig(), total_steps=1000)
-    loss_fn = make_llama_moka_loss(cfg, spec, remat=True, use_flash=True,
-                                   fused_loss=True,
-                                   remat_policy="proj_nokv_lse",
-                                   a8_dots="full")
-    step = make_train_step(loss_fn, tx, donate=False)
 
     # abstract trees: eval_shape traces the init + quantization without
     # materializing 7B of parameters on the host
@@ -120,6 +136,13 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
             llama.init_llama_params(k, cfg, dtype=jnp.bfloat16),
             bits=4, head_bits=8),
         jax.random.key(0))
+    host_stream = (shardlib.stream_shardings(mesh, frozen_shapes)
+                   if host_offload else None)
+    loss_fn = make_llama_moka_loss(cfg, spec, remat=True, use_flash=True,
+                                   fused_loss=True,
+                                   remat_policy="proj_nokv_lse",
+                                   a8_dots="full", host_stream=host_stream)
+    step = make_train_step(loss_fn, tx, donate=False)
     state_shapes = jax.eval_shape(
         lambda k: init_train_state(
             {"adapters": llama.init_moka_adapters(k, cfg, spec)}, tx,
@@ -132,7 +155,7 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
             shapes, shardings)
 
     frozen_s = with_sh(frozen_shapes, shardlib.param_shardings(
-        mesh, frozen_shapes))
+        mesh, frozen_shapes, host_offload=host_offload))
     rep = NamedSharding(mesh, P())
     state_s = jax.tree.map(
         lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=rep),
@@ -164,11 +187,13 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
         pass
 
     return {
-        "metric": "multichip_aot_flagship",
+        "metric": f"multichip_aot_{preset}",
         "ok": True,
         "mesh": {"data": data, "fsdp": fsdp, "model": model},
-        "config": "llama2_7b_int4a8_qh (int4 base + int8 head, W4A8-full, "
-                  "proj_nokv_lse, qwindow 256)",
+        "config": f"{cfg_name}_int4a8_qh (int4 base + int8 head, W4A8-full, "
+                  "proj_nokv_lse, qwindow 256)"
+                  + (" + pinned_host base offload" if host_offload else ""),
+        "host_offload": host_offload,
         "batch": b, "seqlen": L,
         "collectives": coll,
         "collective_bytes_total": sum(v["bytes"] for v in coll.values()),
@@ -181,6 +206,11 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
 if __name__ == "__main__":
     args = sys.argv[1:]
     get = lambda k, d: int(args[args.index(k) + 1]) if k in args else d
-    out = audit(n_devices=get("--devices", 8), batch=get("--batch", 4),
-                seqlen=get("--seqlen", 1024))
+    preset = args[args.index("--preset") + 1] if "--preset" in args else "7b"
+    p = dict(PRESETS[preset])
+    cfg_name = p.pop("cfg")
+    p["n_devices"] = get("--devices", p["n_devices"])
+    p["batch"] = get("--batch", p["batch"])
+    p["seqlen"] = get("--seqlen", p["seqlen"])
+    out = audit(cfg_name=cfg_name, preset=preset, **p)
     print(json.dumps(out))

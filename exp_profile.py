@@ -86,6 +86,97 @@ def run_and_trace(name: str) -> str:
     return outdir
 
 
+def run_and_trace_mm(name: str) -> str:
+    """Trace the FULL multimodal step (CLIP+BEATs fwd, projectors fwd+bwd,
+    splice, MokA-LLaMA fwd+bwd) — the bench.run_multimodal path — to
+    attribute the text-only vs multimodal step-time delta (VERDICT r4
+    item 4: the 4,626 vs 5,326 tok/s gap is the tower forward)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import bench
+    from moka_tpu.core.config import TrainConfig
+    from moka_tpu.data import assembler as asm
+    from moka_tpu.models import llama as llama_mod
+    from moka_tpu.models import unified
+    from moka_tpu.models.beats import init_beats_params
+    from moka_tpu.models.clip_vit import init_clip_params
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    bench._enable_compile_cache()
+    v = bench._mm_candidates()[name]
+    ucfg, b, L, quantize, pol, a8 = v[:6]
+    qh = v[6] if len(v) > 6 else False
+    qe = v[7] if len(v) > 7 else False
+    outdir = f"/tmp/moka_prof/{name}"
+    os.makedirs(outdir, exist_ok=True)
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(0), 4)
+    if quantize:
+        from moka_tpu.ops.quant import init_llama_params_quantized
+        frozen = {"llama": init_llama_params_quantized(
+            k1, ucfg.llama, bits=quantize,
+            head_bits=(8 if qh is True else qh or None))}
+    else:
+        frozen = {"llama": llama_mod.init_llama_params(
+            k1, ucfg.llama, dtype=jnp.bfloat16)}
+    frozen["clip"] = init_clip_params(k2, ucfg.clip, dtype=jnp.bfloat16)
+    frozen["beats"] = init_beats_params(k3, ucfg.beats, dtype=jnp.bfloat16)
+    if qe:
+        from moka_tpu.ops.quant import quantize_encoder
+        frozen["clip"] = quantize_encoder(frozen["clip"], bits=qe)
+        frozen["beats"] = quantize_encoder(frozen["beats"], bits=qe)
+    trainable = unified.init_trainable(k4, ucfg)
+
+    n_video_groups = n_audio_groups = 10
+    audio_frames = 192
+    nq_v = ucfg.vl_projector.num_query_tokens
+    nq_a = ucfg.al_projector.num_query_tokens
+    nv, na = n_video_groups * nq_v, n_audio_groups * nq_a
+    vbase = ucfg.llama.vocab_size - len(asm.SPECIAL_TOKENS)
+    t2i = {t: vbase + i for i, t in enumerate(asm.SPECIAL_TOKENS)}
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(b):
+        prefix = rng.integers(4, vbase, 16 + i).tolist()
+        q_toks = rng.integers(4, vbase, 16).tolist()
+        n_ans = max(
+            1, L - (len(prefix) + 3 + nv + 3 + na + 2 + len(q_toks)) - 8 - i)
+        answer = rng.integers(4, vbase, n_ans).tolist()
+        ids = (prefix
+               + [t2i["<video_start>"], t2i["<video>"], t2i["<video_end>"]]
+               + [t2i["<audio_start>"], t2i["<audio>"], t2i["<audio_end>"]]
+               + [t2i["<question_start>"]] + q_toks
+               + [t2i["<question_end>"]] + answer)
+        lab = [-100] * (len(ids) - len(answer)) + answer
+        samples.append(asm.assemble_sample(
+            np.asarray(ids), np.asarray(lab), t2i, pad_id=0,
+            n_video_tokens=nv, n_audio_tokens=na))
+    batch_d = asm.pad_batch(samples, pad_id=0, pad_to=L)
+    img = ucfg.clip.image_size
+    batch_d["video"] = rng.standard_normal(
+        (b, n_video_groups, 3, img, img)).astype(np.float32)
+    batch_d["audio"] = rng.standard_normal(
+        (b, n_audio_groups, audio_frames, 128)).astype(np.float32)
+    batch_d = {k: jnp.asarray(x) for k, x in batch_d.items()}
+
+    loss_fn = unified.unified_loss(ucfg, remat=True, use_flash=True,
+                                   fused_loss=True, remat_policy=pol,
+                                   a8_dots=a8)
+    tx = make_optimizer(TrainConfig(), total_steps=1000)
+    state = init_train_state(trainable, tx, jax.random.key(0, impl="rbg"))
+    step = make_train_step(loss_fn, tx, donate=True)
+    for _ in range(2):
+        state, m = step(state, frozen, batch_d)
+    float(m["loss"])
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            state, m = step(state, frozen, batch_d)
+        float(m["loss"])
+    return outdir
+
+
 def parse(outdir: str, top: int = 40):
     paths = glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -155,6 +246,11 @@ def parse(outdir: str, top: int = 40):
 if __name__ == "__main__":
     if "--parse" in sys.argv:
         parse(sys.argv[sys.argv.index("--parse") + 1])
+    elif "--mm" in sys.argv:
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        name = pos[0] if pos else "avt_7b_int4a8f_qh_qenc"
+        outdir = run_and_trace_mm(name)
+        parse(outdir)
     else:
         name = sys.argv[1] if len(sys.argv) > 1 else "llama2_7b_int4"
         outdir = run_and_trace(name)

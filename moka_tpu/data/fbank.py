@@ -20,6 +20,7 @@ implementations cross-validate each other in tests.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import numpy as np
@@ -103,8 +104,16 @@ def beats_fbank(waveform: np.ndarray, sample_rate: int = 16000) -> np.ndarray:
     with this numpy implementation as the fallback and cross-check
     (``tests/test_fbank.py`` pins the two against each other)."""
     wav = np.asarray(waveform, np.float64) * (2 ** 15)
-    from moka_tpu.native import native_fbank
-    feats = native_fbank(wav.astype(np.float32), sample_rate=sample_rate)
+    feats = None
+    # MOKA_FBANK=numpy forces the float64 numpy path that bit-mirrors the
+    # reference preprocessing (audio_processor.py is float64 end-to-end) —
+    # the escape hatch for parity-sensitive evals; the native float32
+    # frontend is the default because the dataloader hot loop is 10
+    # segments/sample and test_fbank pins the two within eval tolerance.
+    if os.environ.get("MOKA_FBANK", "native") != "numpy":
+        from moka_tpu.native import native_fbank
+        feats = native_fbank(wav.astype(np.float32),
+                             sample_rate=sample_rate)
     if feats is None:
         feats = fbank(wav, sample_rate=sample_rate)
     return (feats - FBANK_MEAN) / (2 * FBANK_STD)

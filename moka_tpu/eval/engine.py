@@ -494,19 +494,25 @@ class DecodeEngine:
             for r, slot in zip(group, slots):
                 self.slot_req[slot] = r
                 self.counts[slot] = int(r.prompt_mask.sum())
-                self.budget[slot] = r.max_new_tokens
+                # matches buds_d: the prefill token (emitted later, in
+                # _flush_admits, charge=False) is already paid for here, so
+                # _issue's horizon never runs one token high pre-flush
+                self.budget[slot] = r.max_new_tokens - 1
                 self.temp[slot] = r.temperature
                 self.topk[slot] = r.top_k
                 self.topp[slot] = r.top_p
                 self.cur = max(self.cur, Lp)
 
-    def _emit(self, slot: int, tok: int):
-        """Record one generated token; retire the lane on eos/budget."""
+    def _emit(self, slot: int, tok: int, charge: bool = True):
+        """Record one generated token; retire the lane on eos/budget.
+        ``charge=False`` for the deferred prefill token, whose budget debit
+        already happened at admit (host and device mirrors stay equal)."""
         req = self.slot_req[slot]
         req.tokens.append(tok)
         if req.stream is not None:
             req.stream.put(tok)
-        self.budget[slot] -= 1
+        if charge:
+            self.budget[slot] -= 1
         if tok == self.eos_id or self.budget[slot] <= 0:
             self._finish(req, np.asarray(req.tokens, np.int32))
             self.slot_req[slot] = None
@@ -524,7 +530,7 @@ class DecodeEngine:
             vals = np.asarray(toks)
             for i, (r, slot) in enumerate(zip(group, slots)):
                 self.tokens[slot] = int(vals[i])
-                self._emit(slot, int(vals[i]))
+                self._emit(slot, int(vals[i]), charge=False)
         self._pending_admits.clear()
 
     def _issue(self):
@@ -543,9 +549,16 @@ class DecodeEngine:
         the active lanes is already covered by in-flight dispatches — the
         caller should harvest instead."""
         k = self.steps_per_dispatch
+
         # steps already dispatched but not yet harvested: the host budgets
-        # below don't know about them yet
-        inflight_steps = sum(t.shape[0] for t, _ in self._inflight)
+        # below don't know about them yet.  Charged PER LANE via the issue
+        # snapshots — a lane admitted after a dispatch was issued gets no
+        # tokens from it (the harvest guard drops rows whose snapshot
+        # occupant differs), so a uniform subtraction would under-count its
+        # owed tokens and could decline to issue right after an admission.
+        def lane_inflight(i, r):
+            return sum(t.shape[0] for t, snap in self._inflight
+                       if snap[i] is r)
         if k > 1:
             # cap the scan at the relevant retirement horizon: with requests
             # queued, the SOONEST lane retirement (early re-admission — the
@@ -553,7 +566,7 @@ class DecodeEngine:
             # otherwise the LATEST (steps past every lane's budget are pure
             # waste).  Rounded up to a power of two to bound the set of
             # compiled _step_multi executables at log2(steps_per_dispatch).
-            remaining = [self.budget[i] - inflight_steps
+            remaining = [self.budget[i] - lane_inflight(i, r)
                          for i, r in enumerate(self.slot_req)
                          if r is not None]
             owed = [r for r in remaining if r > 0]
@@ -567,7 +580,7 @@ class DecodeEngine:
                 cap *= 2
             k = min(k, cap)
         elif self._inflight and not any(
-                self.budget[i] - inflight_steps > 0
+                self.budget[i] - lane_inflight(i, r) > 0
                 for i, r in enumerate(self.slot_req) if r is not None):
             return False
         if self.cur > self.S - k:

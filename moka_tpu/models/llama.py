@@ -156,7 +156,7 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    use_fused_moka: bool, paged_decode: bool,
                    a8_dots: bool | str,
-                   context_parallel,
+                   context_parallel, host_stream,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
                    attn_mask: Array | None,
@@ -174,6 +174,13 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
     (the copy made decode ~3x slower than the HBM bound)."""
     b, L, _ = h.shape
     hd, H, K = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+
+    if host_stream is not None:
+        # stream this layer's weights host->device INSIDE the remat region:
+        # the backward re-DMAs them instead of the scan stacking per-layer
+        # device copies as residuals (which would hold the whole base in
+        # HBM and defeat the offload)
+        layer = jax.device_put(layer, host_stream["layers"])
 
     proj = functools.partial(_apply_proj, adapters=adapters, spec=spec,
                              masks=masks, dropout_rng=dropout_rng,
@@ -387,7 +394,8 @@ def forward(base: dict, cfg: LlamaConfig, *,
             use_fused_moka: bool = False,
             paged_decode: bool = False,
             a8_dots: bool | str = False,
-            context_parallel=None):
+            context_parallel=None,
+            host_stream: dict | None = None):
     """Full decoder forward.
 
     attn_mask: (b, S) valid-key mask over the *attention span* (the current
@@ -398,13 +406,21 @@ def forward(base: dict, cfg: LlamaConfig, *,
       that mesh axis and run attention as a k/v ring over ICI
       (``parallel/ring_attention.py``).  Training/prefill only (no cache);
       composes with remat and the MokA masks.  Supersedes ``use_flash``.
+    host_stream: when the ``base`` tree lives in ``pinned_host`` memory
+      (``parallel.sharding.shard_params(host_offload=True)``), pass
+      ``parallel.sharding.stream_shardings(mesh, base)``: each layer's
+      weights are DMA'd host->device inside the layer loop (peak HBM = one
+      layer of the base) — the ZeRO-3-param-offload analog for 100B-class
+      bases (``zero_stage3_config_100b_1e7_offload.json:13-20``).
     Returns (logits_or_hidden, new_cache).
     """
     if context_parallel is not None and cache is not None:
         raise ValueError("context_parallel is a training/prefill path; "
                          "cached decode is not sequence-sharded")
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(base["embed"], tokens, axis=0)
+        table = base["embed"] if host_stream is None else \
+            jax.device_put(base["embed"], host_stream["embed"])
+        inputs_embeds = jnp.take(table, tokens, axis=0)
     h = inputs_embeds
     b, L, _ = h.shape
 
@@ -436,7 +452,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
 
     layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
                                  use_fused_moka, paged_decode, a8_dots,
-                                 context_parallel)
+                                 context_parallel, host_stream)
     if remat:
         layer_fn = jax.checkpoint(
             layer_fn, static_argnums=(), policy=_remat_policy(remat_policy))
@@ -481,9 +497,14 @@ def forward(base: dict, cfg: LlamaConfig, *,
 
         h, _ = jax.lax.scan(scan_body, h, xs)
 
-    h = rmsnorm(h, base["final_norm"], cfg.rms_eps)
+    final_norm, lm_head = base["final_norm"], base["lm_head"]
+    if host_stream is not None:
+        final_norm = jax.device_put(final_norm, host_stream["final_norm"])
+        if logits:
+            lm_head = jax.device_put(lm_head, host_stream["lm_head"])
+    h = rmsnorm(h, final_norm, cfg.rms_eps)
     if logits:
-        out = head_logits(h, base["lm_head"])
+        out = head_logits(h, lm_head)
     else:
         out = h
     return out, new_cache

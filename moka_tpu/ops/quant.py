@@ -255,7 +255,7 @@ def quantize_encoder(params: dict, bits: int = 8,
             if (w is not None and hasattr(w, "ndim") and w.ndim >= 2
                     and min(w.shape[-2:]) >= min_dim
                     and (bits == 8 or w.shape[-2] % 2 == 0)):
-                return {**{k: v for k, v in node.items() if k != "w"},
+                return {**{k: walk(v) for k, v in node.items() if k != "w"},
                         "w": quant(w, axis=-2)}
             return {k: walk(v) for k, v in node.items()}
         return node

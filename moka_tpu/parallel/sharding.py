@@ -112,6 +112,32 @@ def param_shardings(mesh: Mesh, params, host_offload: bool = False) -> dict:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def stream_shardings(mesh: Mesh, params) -> dict:
+    """Device-memory shardings for streaming a ``pinned_host``-resident
+    base into HBM per use (``llama.forward(host_stream=...)``).
+
+    The ``layers`` subtree gets PER-SLICE shardings (the stacked leading
+    layer axis dropped): the layer scan's body DMAs exactly one layer's
+    weights host->device per iteration, so peak HBM holds one layer of the
+    base instead of all of it — the TPU-native analog of the reference's
+    ZeRO-3 parameter offload for 100B-class bases
+    (``zero_stage3_config_100b_1e7_offload.json:13-20``), with XLA's
+    latency-hiding scheduler overlapping the DMA with the previous layer's
+    compute.  Non-stacked leaves (embed/lm_head/final_norm) get their full
+    rule-table sharding in device memory."""
+    def one(path, leaf):
+        p = _path_str(path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = spec_for_path(p, len(shape))
+        if "layers/" in p:
+            # drop the stacked layer axis: the scan slices it away
+            spec = P(*list(spec)[1:])
+            shape = shape[1:]
+        return NamedSharding(mesh, _divisible_spec(mesh, spec, shape),
+                             memory_kind="device")
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
 def shard_params(mesh: Mesh, params, host_offload: bool = False):
     return jax.device_put(params,
                           param_shardings(mesh, params,

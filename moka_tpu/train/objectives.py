@@ -20,7 +20,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          context_parallel=None,
                          ce_chunk: int = 128,
                          a8_dots: bool | str = False,
-                         pallas_ce: bool = False):
+                         pallas_ce: bool = False,
+                         host_stream: dict | None = None):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -30,6 +31,10 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
     remat_policy: see ``llama._remat_policy``; use_fused_moka: the fused
     Pallas adapter kernel (dropout applied outside the kernel);
     context_parallel: (Mesh, axis) for ring-attention sequence sharding.
+    host_stream: ``parallel.sharding.stream_shardings(mesh, frozen)`` when
+    the frozen base lives in ``pinned_host`` (100B-class param offload):
+    layer weights stream host->device per scan iteration, the lm_head is
+    DMA'd once before the fused-CE chunk scan.
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -47,9 +52,12 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             dropout_rng=rng if spec.dropout_rate > 0 else None,
             logits=not fused_loss, use_flash=use_flash,
             use_fused_moka=use_fused_moka, a8_dots=a8_dots,
-            context_parallel=context_parallel)
+            context_parallel=context_parallel, host_stream=host_stream)
         if fused_loss:
-            loss = llama.chunked_cross_entropy(out, frozen["lm_head"],
+            lm_head = frozen["lm_head"]
+            if host_stream is not None:
+                lm_head = jax.device_put(lm_head, host_stream["lm_head"])
+            loss = llama.chunked_cross_entropy(out, lm_head,
                                                batch["labels"],
                                                chunk=ce_chunk, a8=a8_dots,
                                                pallas_ce=pallas_ce)

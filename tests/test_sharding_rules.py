@@ -237,3 +237,50 @@ def test_host_offload_shardings():
     sh = param_shardings(mesh, base, host_offload=True)
     assert sh["layers"]["q"].memory_kind == "pinned_host"
     assert sh["layers"]["q"].spec == P(None, "fsdp", "model")
+
+
+def test_host_stream_step_matches_device_resident():
+    """A tiny train step with the base in pinned_host + per-layer
+    host->device streaming (``forward(host_stream=...)``) executes on the
+    virtual mesh and produces the same loss as the device-resident step —
+    the 100B-class ZeRO-3-param-offload analog
+    (``zero_stage3_config_100b_1e7_offload.json:13-20``)."""
+    from moka_tpu.core.config import LlamaConfig, MeshConfig, TrainConfig
+    from moka_tpu.models import llama
+    from moka_tpu.ops.moka import MokaSpec
+    from moka_tpu.parallel.mesh import make_mesh
+    from moka_tpu.parallel.sharding import (shard_params, stream_shardings)
+    from moka_tpu.train.objectives import make_llama_moka_loss
+    from moka_tpu.train.optim import make_optimizer
+    from moka_tpu.train.step import init_train_state, make_train_step
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(MeshConfig(1, 4, 2), devices=devices[:8])
+    cfg = LlamaConfig.tiny(vocab_size=64, n_layers=2)
+    spec = MokaSpec.avt(rank=2, dropout_rate=0.0)
+    base = llama.init_llama_params(jax.random.key(0), cfg,
+                                   dtype=jnp.float32)
+    trainable = {"adapters": llama.init_moka_adapters(
+        jax.random.key(1), cfg, spec)}
+    rng = np.random.default_rng(0)
+    batch = {
+        "tokens": jnp.asarray(rng.integers(0, 64, (4, 16)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 64, (4, 16)), jnp.int32),
+    }
+    tx = make_optimizer(TrainConfig(warmup_ratio=0.0), total_steps=4)
+    state = init_train_state(trainable, tx, jax.random.key(2))
+
+    losses = {}
+    for offload in (False, True):
+        frozen = shard_params(mesh, base, host_offload=offload)
+        hs = stream_shardings(mesh, base) if offload else None
+        loss_fn = make_llama_moka_loss(cfg, spec, remat=True,
+                                       fused_loss=True, host_stream=hs)
+        step = make_train_step(loss_fn, tx, donate=False)
+        _, metrics = step(state, frozen, batch)
+        losses[offload] = float(metrics["loss"])
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False],
+                               rtol=1e-5, atol=1e-6)
