@@ -37,7 +37,7 @@ def _enable_compile_cache():
 def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         quantize=False, remat_policy=None, bf16_dots=False,
         fused_moka=False, rng_impl=None, ce_chunk=128,
-        pallas_ce=False,
+        pallas_ce=False, ce_rows=False,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
         flash_rank_attn=False, question_window=None, a8_dots=False,
         quantize_head=False):
@@ -104,7 +104,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
                                    remat_policy=remat_policy,
                                    use_fused_moka=fused_moka,
                                    ce_chunk=ce_chunk, a8_dots=a8_dots,
-                                   pallas_ce=pallas_ce)
+                                   pallas_ce=pallas_ce, ce_rows=ce_rows)
     step = make_train_step(loss_fn, tx, donate=True)
     if fwd_only:  # ablation probe: loss evaluation without backward
         fwd = jax.jit(lambda s, f, b: loss_fn(s.params, f, b,

@@ -84,6 +84,19 @@ VARIANTS = {
     # so the dX dots ride the MXU int8 path (SwitchBack-style, dX only)
     "i4a8f_pnl_qw":    (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
                         {"question_window": 256, "a8_dots": "full"}),
+    # round-5: same-day flagship baseline + CE rows layout (the shift moves
+    # into the labels; slice/pad/transpose copies and their backward
+    # counterparts disappear — the profile's ~26 ms CE copy-chain lever)
+    "r5_flagship":     (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 256, "a8_dots": "full",
+                         "quantize_head": 8}),
+    "r5_ce_rows":      (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
+                        {"question_window": 256, "a8_dots": "full",
+                         "quantize_head": 8, "ce_rows": True}),
+    # rows layout changes the copy economics — re-probe one bigger chunk
+    "r5_ce_rows_c256": (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 256,
+                        {"question_window": 256, "a8_dots": "full",
+                         "quantize_head": 8, "ce_rows": True}),
 }
 
 

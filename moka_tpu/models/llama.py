@@ -545,7 +545,8 @@ def chunked_cross_entropy(h: Array, lm_head, labels: Array,
                           ignore_index: int = -100,
                           chunk: int = 128,
                           a8: bool | str = False,
-                          pallas_ce: bool = False) -> Array:
+                          pallas_ce: bool = False,
+                          rows_layout: bool = False) -> Array:
     """Shift-by-one CE fused with the lm_head projection, scanned over
     sequence chunks so the full fp32 (b, L, V) logits tensor never
     materializes (at the reference recipe's shapes that tensor is ~0.5 GB
@@ -559,8 +560,48 @@ def chunked_cross_entropy(h: Array, lm_head, labels: Array,
     ``pallas_ce`` (int8 heads only) routes through the Pallas fused
     lm_head+CE kernel (``ops/fused_ce.py``): logits never touch HBM at
     all — the chunk scan's per-chunk logits round-trips disappear.
+
+    ``rows_layout``: scan over contiguous row blocks of the FLATTENED
+    (b*L, d) hidden instead of per-batch sequence chunks.  The shift
+    happens in the labels (last position's target set to ignore), so the
+    h[:, :-1] slice copy, the pad-to-chunk copy, and the
+    (b,nc,chunk,d)->(nc,b,chunk,d) transpose (plus their backward
+    counterparts) all disappear — every reshape is free.  Costs b extra
+    ignored rows of head dot (negligible).  Numerically identical.
     """
     b, L, d = h.shape
+    if rows_layout and not pallas_ce:
+        targets = jnp.concatenate(
+            [labels[:, 1:],
+             jnp.full((b, 1), ignore_index, labels.dtype)], axis=1)
+        n = b * L
+        pad = (-n) % chunk
+        rows = h.reshape(n, d)
+        t = targets.reshape(n)
+        if pad:
+            rows = jnp.pad(rows, ((0, pad), (0, 0)))
+            t = jnp.pad(t, (0, pad), constant_values=ignore_index)
+        nc = (n + pad) // chunk
+        rows = rows.reshape(nc, 1, chunk, d)
+        t = t.reshape(nc, 1, chunk)
+
+        @jax.checkpoint
+        def one_rows(carry, xs):
+            hc, tc = xs
+            logits = head_logits(hc, lm_head, a8=a8)
+            valid = tc != ignore_index
+            safe = jnp.where(valid, tc, 0)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, safe[..., None], axis=-1)[..., 0]
+            loss_sum, count = carry
+            return (loss_sum + jnp.sum(jnp.where(valid, nll, 0.0)),
+                    count + jnp.sum(valid)), None
+
+        (loss_sum, count), _ = jax.lax.scan(
+            one_rows, (jnp.zeros((), jnp.float32),
+                       jnp.zeros((), jnp.int32)), (rows, t))
+        return loss_sum / jnp.maximum(count, 1)
     if pallas_ce:
         from moka_tpu.ops.quant import is_quantized
         if not (is_quantized(lm_head) and "w_i8" in lm_head):

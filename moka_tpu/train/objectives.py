@@ -21,7 +21,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          ce_chunk: int = 128,
                          a8_dots: bool | str = False,
                          pallas_ce: bool = False,
-                         host_stream: dict | None = None):
+                         host_stream: dict | None = None,
+                         ce_rows: bool = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -60,7 +61,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             loss = llama.chunked_cross_entropy(out, lm_head,
                                                batch["labels"],
                                                chunk=ce_chunk, a8=a8_dots,
-                                               pallas_ce=pallas_ce)
+                                               pallas_ce=pallas_ce,
+                                               rows_layout=ce_rows)
         else:
             loss = llama.cross_entropy_loss(out, batch["labels"])
         ntok = jnp.sum(batch["labels"] != -100)
