@@ -185,3 +185,40 @@ def test_grad_parity_fused_padded():
     for a, b in zip(g_e, g_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=3e-4,
                                    atol=3e-4)
+
+
+@pytest.mark.parametrize("block", [4, 8])
+def test_conditional_masking_parity(block):
+    """conditional=True (interior blocks skip the valid/where passes) must
+    be bit-equal math to conditional=False — exercised with left padding,
+    causal diagonal blocks, and small blocks so interior blocks exist."""
+    q, k, v, mask = _data(L=16, S=16)
+    base = flash_mha(q, k, v, mask, block_q=block, block_k=block,
+                     interpret=True, conditional=False)
+    cond = flash_mha(q, k, v, mask, block_q=block, block_k=block,
+                     interpret=True, conditional=True)
+    _cmp(cond, base, mask, rtol=1e-6, atol=1e-6)
+
+    # grads flow through the same vjp (conditional touches the fwd only)
+    def loss(fn_cond):
+        def f(q, k, v):
+            o = flash_mha(q, k, v, mask, block_q=block, block_k=block,
+                          interpret=True, conditional=fn_cond)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return f
+    g1 = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_conditional_masking_q_offset_and_ragged():
+    """Prefill-with-cache shape at an offset + a ragged tail (S=20 padded
+    to blocks of 8): the tail block must never take the interior branch."""
+    q, k, v, mask = _data(L=8, S=20)
+    want = flash_mha(q, k, v, mask, q_offset=12, block_q=8, block_k=8,
+                     interpret=True, conditional=False)
+    got = flash_mha(q, k, v, mask, q_offset=12, block_q=8, block_k=8,
+                    interpret=True, conditional=True)
+    _cmp(got, want, mask, q_offset=12, rtol=1e-6, atol=1e-6)
