@@ -362,6 +362,13 @@ def _mm_candidates():
         # ~0.45 GB HBM and halve the encoder weight reads of the fwd pass
         "avt_7b_int4a8f_qh_qenc": (cfg7b, 4, 1024, 4, "qkvod_lse", "full",
                                    8, 8),
+        # + per-token int8 ACTIVATIONS inside the towers (W8A8 fwd-only
+        # dots on the frozen CLIP/BEATs — the multimodal-gap lever)
+        "avt_7b_int4a8f_qh_qenc_ta8": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "qkvod_lse", "full", 8, 8),
         "avt_7b_int4a8f_qh": (cfg7b, 4, 1024, 4, "qkvod_lse", "full", 8),
         "avt_7b_int4a8f_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse",
                                      "full"),
@@ -576,10 +583,12 @@ def _candidates():
             _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
                         rope_scaling=("dynamic", 2.0)), 1,
             4096, 4, "proj_nokv_lse", True, "rbg", 256, "full", 8),
+        # b2 doubles the save-set tokens vs the flagship: qkvod_lse OOMs by
+        # 1.95 GB, full remat (save only layer inputs) fits
         "llama2_7b_int4a8_qh_b2L4096": (
             _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
                         rope_scaling=("dynamic", 2.0)), 2,
-            4096, 4, "qkvod_lse", True, "rbg", 256, "full", 8),
+            4096, 4, None, True, "rbg", 256, "full", 8),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            True, "qkvod_lse", True, "rbg", 256),
         "llama2_7b_int8_fullremat": (

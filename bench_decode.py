@@ -326,6 +326,39 @@ def main_engine_mm(cfg_name: str = "avt_7b_int8_qenc", n_slots: int = 8,
             total += sum(budgets[i:i + n_slots])
         return total
 
+    def run_engine_threaded(k, name, group):
+        """Server mode: the serve thread admits/issues/harvests while the
+        submit loop is still encoding later groups — admission encode
+        overlaps decode, as a real deployment's would."""
+        eng = DecodeEngine(frozen["llama"], adapters, cfg=ucfg.llama,
+                           spec=ucfg.spec, n_slots=n_slots,
+                           cache_capacity=prompt_bucket + 4 * new_tokens,
+                           eos_id=10 ** 9, use_flash=True,
+                           steps_per_dispatch=k, kv_quant=kv_quant,
+                           pipeline_depth=1)
+        eng.start()
+        try:
+            waiters = []
+            t0 = time.perf_counter()
+            for g0 in range(0, n_requests, group):
+                chunk = req_batches[g0:g0 + group]
+                bd = chunk[0] if len(chunk) == 1 else _concat(chunk)
+                embeds = encode_and_splice(trainable, frozen, bd)
+                mm, qm = bd["modality_masks"], bd["question_mask"]
+                for i, b in enumerate(budgets[g0:g0 + len(chunk)]):
+                    waiters.append(eng.submit(
+                        embeds[i:i + 1], bd["attn_mask"][i:i + 1],
+                        masks=llama_mod.MaskBundle(mm[:, i:i + 1],
+                                                   qm[i:i + 1]),
+                        max_new_tokens=b))
+            enc_wall = time.perf_counter() - t0
+            out = sum(len(w.get(timeout=300)) for w in waiters)
+        finally:
+            eng.stop()
+        phases[name] = {"submit_loop_s": round(enc_wall, 3)}
+        dispatches[name] = eng._dispatch_no
+        return out
+
     results = {}
     variants = []
     for k in ks:
@@ -333,14 +366,20 @@ def main_engine_mm(cfg_name: str = "avt_7b_int8_qenc", n_slots: int = 8,
             nm = f"engine_k{k}_g{g}"
             variants.append((nm, (lambda kk, gg, n: lambda: run_engine(
                 kk, 1, n, group=gg))(k, g, nm)))
+        nm = f"engine_k{k}_g{n_slots}_thr"
+        variants.append((nm, (lambda kk, n: lambda: run_engine_threaded(
+            kk, n, n_slots))(k, nm)))
     for name, fn in variants + [("static", run_static)]:
+        print(f"# {name}: warmup", file=sys.stderr, flush=True)
         fn()  # compile warmup
         tps = []
-        for _ in range(2):
+        for r in range(2):
             t0 = time.perf_counter()
             n_tok = fn()
             dt = time.perf_counter() - t0
             tps.append(round(n_tok / dt, 1))
+            print(f"# {name}: run {r} {tps[-1]} tok/s", file=sys.stderr,
+                  flush=True)
         results[name] = {"tokens": n_tok, "tokens_per_sec": max(tps),
                          "runs": tps}
         if name in dispatches:

@@ -96,10 +96,13 @@ def audit(n_devices: int = 8, batch: int = 4, seqlen: int = 1024,
           cfg_name: str = "llama2_7b", host_offload: bool = False,
           preset: str = "7b") -> dict:
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n_devices}"
-        ).strip()
+    # override any inherited device count (pytest's conftest pins 8; the
+    # 70b presets need 16)
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                   flags)
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
     import jax
     try:
         jax.config.update("jax_platforms", "cpu")

@@ -93,10 +93,19 @@ VARIANTS = {
     "r5_ce_rows":      (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 128,
                         {"question_window": 256, "a8_dots": "full",
                          "quantize_head": 8, "ce_rows": True}),
-    # rows layout changes the copy economics — re-probe one bigger chunk
+    # rows layout changes the copy economics — re-probe bigger chunks.
+    # NOTE chunk counts ROWS here: c512 = the old layout's c128 x b4 rows
+    # per head read (equal head re-read traffic), c1024 halves it
     "r5_ce_rows_c256": (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 256,
                         {"question_window": 256, "a8_dots": "full",
                          "quantize_head": 8, "ce_rows": True}),
+    "r5_ce_rows_c512": (4, 1024, "proj_nokv_lse", True, False, "rbg", 4, 512,
+                        {"question_window": 256, "a8_dots": "full",
+                         "quantize_head": 8, "ce_rows": True}),
+    "r5_ce_rows_c1024": (4, 1024, "proj_nokv_lse", True, False, "rbg", 4,
+                         1024,
+                         {"question_window": 256, "a8_dots": "full",
+                          "quantize_head": 8, "ce_rows": True}),
 }
 
 

@@ -26,6 +26,7 @@ The encoder is frozen (``multimodal_encoder.py:183-186``): no dropout paths.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -56,6 +57,9 @@ class BeatsConfig:
     conv_pos: int = 128
     conv_pos_groups: int = 16
     ln_eps: float = 1e-5
+    # int8-quantized towers only: per-token int8 activations on the dense
+    # dots (MXU int8 path); frozen + fwd-only, see ClipVitConfig.a8_dots
+    a8_dots: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -126,11 +130,14 @@ def _ln(x, p, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]).astype(x.dtype)
 
 
-def _dense(x, p):
+def _dense(x, p, a8=False):
     # p["w"] may be an int8/int4 dict (quantize_encoder — the tower is as
-    # frozen as the LLaMA base); the dequant fuses into the dot operand
-    from moka_tpu.ops.quant import is_quantized, qmatmul
+    # frozen as the LLaMA base); the dequant fuses into the dot operand.
+    # a8 (int8 weights only): per-token int8 activations -> MXU int8 dots.
+    from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
     if is_quantized(p["w"]):
+        if a8 and "w_i8" in p["w"] and x.ndim == 3:
+            return qmatmul_a8(x, p["w"]) + p["b"]
         return qmatmul(x, p["w"], spec="...d,df->...f") + p["b"]
     return jnp.einsum("...d,df->...f", x, p["w"]) + p["b"]
 
@@ -216,9 +223,10 @@ def beats_encode(params: dict, cfg: BeatsConfig, fbank: Array,
         key_bias = None
 
     def layer(x, p):
-        q = _dense(x, p["q"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-        k = _dense(x, p["k"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
-        v = _dense(x, p["v"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        dense = functools.partial(_dense, a8=cfg.a8_dots)
+        q = dense(x, p["q"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        k = dense(x, p["k"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        v = dense(x, p["v"]).reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                        preferred_element_type=jnp.float32)
         s = s / jnp.sqrt(jnp.float32(hd))
@@ -238,10 +246,10 @@ def beats_encode(params: dict, cfg: BeatsConfig, fbank: Array,
         pr = jax.nn.softmax(s.astype(jnp.float32), -1)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", pr.astype(v.dtype), v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, L, h)
-        x = _ln(x * alpha + _dense(ctx, p["out"]), p["ln_attn"], cfg.ln_eps)
+        x = _ln(x * alpha + dense(ctx, p["out"]), p["ln_attn"], cfg.ln_eps)
         r = x
-        y = _dense(jax.nn.gelu(_dense(x, p["fc1"]), approximate=False),
-                   p["fc2"])
+        y = dense(jax.nn.gelu(dense(x, p["fc1"]), approximate=False),
+                  p["fc2"])
         x = _ln(r * alpha + y, p["ln_final"], cfg.ln_eps)
         return x, None
 

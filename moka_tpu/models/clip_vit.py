@@ -14,6 +14,7 @@ XLA DCEs the unused ones at compile time when the selection is static.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,10 @@ class ClipVitConfig:
     n_heads: int = 16
     intermediate: int = 4096
     ln_eps: float = 1e-5
+    # int8-quantized towers only: run the dense dots with per-token int8
+    # activations on the MXU int8 path (the tower is frozen + fwd-only, so
+    # this is the W8A8 recipe with no gradient-side risk)
+    a8_dots: bool = False
 
     @property
     def n_patches(self) -> int:
@@ -91,11 +96,14 @@ def _ln(x, p, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]).astype(x.dtype)
 
 
-def _dense(x, p):
+def _dense(x, p, a8=False):
     # p["w"] may be an int8/int4 dict (quantize_encoder — the tower is as
-    # frozen as the LLaMA base); the dequant fuses into the dot operand
-    from moka_tpu.ops.quant import is_quantized, qmatmul
+    # frozen as the LLaMA base); the dequant fuses into the dot operand.
+    # a8 (int8 weights only): per-token int8 activations -> MXU int8 dots.
+    from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
     if is_quantized(p["w"]):
+        if a8 and "w_i8" in p["w"] and x.ndim == 3:
+            return qmatmul_a8(x, p["w"]) + p["b"]
         return qmatmul(x, p["w"], spec="...d,df->...f") + p["b"]
     return jnp.einsum("...d,df->...f", x, p["w"]) + p["b"]
 
@@ -130,22 +138,23 @@ def clip_hidden_states(params: dict, cfg: ClipVitConfig, images: Array,
     x = _ln(x, params["pre_ln"], cfg.ln_eps)
 
     def layer(x, p):
+        dense = functools.partial(_dense, a8=cfg.a8_dots)
         r = x
         y = _ln(x, p["ln1"], cfg.ln_eps)
         bb, L, h = y.shape
         hd = h // cfg.n_heads
-        q = _dense(y, p["q"]).reshape(bb, L, cfg.n_heads, hd)
-        k = _dense(y, p["k"]).reshape(bb, L, cfg.n_heads, hd)
-        v = _dense(y, p["v"]).reshape(bb, L, cfg.n_heads, hd)
+        q = dense(y, p["q"]).reshape(bb, L, cfg.n_heads, hd)
+        k = dense(y, p["k"]).reshape(bb, L, cfg.n_heads, hd)
+        v = dense(y, p["v"]).reshape(bb, L, cfg.n_heads, hd)
         s = jnp.einsum("bqnh,bknh->bnqk", q, k,
                        preferred_element_type=jnp.float32)
         s = s / jnp.sqrt(jnp.float32(hd))
         pr = jax.nn.softmax(s.astype(jnp.float32), -1)
         ctx = jnp.einsum("bnqk,bknh->bqnh", pr.astype(v.dtype), v)
-        x = r + _dense(ctx.reshape(bb, L, h), p["out"])
+        x = r + dense(ctx.reshape(bb, L, h), p["out"])
         r = x
         y = _ln(x, p["ln2"], cfg.ln_eps)
-        x = r + _dense(quick_gelu(_dense(y, p["fc1"])), p["fc2"])
+        x = r + dense(quick_gelu(dense(y, p["fc1"])), p["fc2"])
         return x, x
 
     x_final, all_states = jax.lax.scan(layer, x, params["layers"])

@@ -531,16 +531,16 @@ def flash_mha(q, k, v, attn_mask, q_offset=0, *, causal=True, block_q=512,
 
     ``conditional``: forward-kernel interior blocks (strictly below the
     causal diagonal, no padding) skip the valid/where masking passes.
-    Measured neutral at L=1024 (r4); ``None`` auto-enables at L >= 4096
-    where the interior fraction makes it pay (long-context prefill)."""
+    MEASURED NEGATIVE at both L=1024 (r4, −0.3%) and L=4096 (r5, −0.5%
+    at b1: 3,671 vs 3,691 tok/s) — the two-branch code duplication costs
+    more than the skipped (bq, bk) passes, so the default is OFF at every
+    length; opt in explicitly or via MOKA_FLASH_COND=1 (parity-tested)."""
     if interpret is None:  # Mosaic kernels need interpret mode off-TPU
         interpret = jax.default_backend() != "tpu"
     hd = q.shape[-1]
     L, S = q.shape[1], k.shape[1]
     if conditional is None:
-        # MOKA_FLASH_COND=0/1 overrides the auto threshold (A/B probes)
-        env = os.environ.get("MOKA_FLASH_COND")
-        conditional = (L >= 4096) if env is None else env == "1"
+        conditional = os.environ.get("MOKA_FLASH_COND") == "1"
     bq, bk = min(block_q, L), min(block_k, S)
     Lp = -(-L // bq) * bq
     Sp = -(-S // bk) * bk

@@ -419,3 +419,32 @@ def test_quantized_encoders_multimodal_train_step():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_encoder_a8_dots_close_and_distinct():
+    """ClipVitConfig/BeatsConfig a8_dots: per-token int8 activations on the
+    quantized towers' dense dots (fwd-only W8A8).  Output must stay within
+    the a8 error envelope of the weight-only int8 tower AND differ from it
+    measurably (a silent bypass would be bitwise-identical)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moka_tpu.models.clip_vit import (ClipVitConfig, clip_hidden_states,
+                                          init_clip_params)
+    from moka_tpu.ops.quant import quantize_encoder
+
+    cfg = ClipVitConfig.tiny()
+    params = quantize_encoder(
+        init_clip_params(jax.random.key(0), cfg, dtype=jnp.float32),
+        min_dim=16)
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, cfg.image_size, cfg.image_size)), jnp.float32)
+    base = clip_hidden_states(params, cfg, imgs, (cfg.n_layers - 1,))[0]
+    a8 = clip_hidden_states(
+        params, dataclasses.replace(cfg, a8_dots=True), imgs,
+        (cfg.n_layers - 1,))[0]
+    err = float(jnp.max(jnp.abs(a8 - base)) /
+                (jnp.max(jnp.abs(base)) + 1e-9))
+    assert err < 0.1, err
+    assert float(jnp.max(jnp.abs(a8 - base))) > 0, "a8 path bypassed"
