@@ -369,6 +369,14 @@ def _mm_candidates():
                         clip=_dc.replace(cfg7b.clip, a8_dots=True),
                         beats=_dc.replace(cfg7b.beats, a8_dots=True)),
             4, 1024, 4, "qkvod_lse", "full", 8, 8),
+        # + flash attention in the CLIP tower (scores stay in VMEM instead
+        # of ~169 MB/layer fp32 HBM round trips at 40x257 tokens)
+        "avt_7b_int4a8f_qh_qenc_ta8f": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True,
+                                         use_flash=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "qkvod_lse", "full", 8, 8),
         "avt_7b_int4a8f_qh": (cfg7b, 4, 1024, 4, "qkvod_lse", "full", 8),
         "avt_7b_int4a8f_qkvod_lse": (cfg7b, 4, 1024, 4, "qkvod_lse",
                                      "full"),

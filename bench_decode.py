@@ -515,6 +515,8 @@ if __name__ == "__main__":
         if "--new-tokens" in sys.argv else None
     pl = int(sys.argv[sys.argv.index("--prompt-len") + 1]) \
         if "--prompt-len" in sys.argv else None
+    bsz = int(sys.argv[sys.argv.index("--batch") + 1]) \
+        if "--batch" in sys.argv else None
     if "--engine-mm" in sys.argv:
         ks = tuple(int(x) for x in
                    sys.argv[sys.argv.index("--ks") + 1].split(",")) \
@@ -538,4 +540,5 @@ if __name__ == "__main__":
         main(pos[0] if pos else "llama_3b", paged="--paged" in sys.argv,
              kv_quant="--kv-quant" in sys.argv,
              **({"new_tokens": nt} if nt else {}),
-             **({"prompt_len": pl} if pl else {}))
+             **({"prompt_len": pl} if pl else {}),
+             **({"batch": bsz} if bsz else {}))

@@ -35,6 +35,11 @@ class ClipVitConfig:
     # activations on the MXU int8 path (the tower is frozen + fwd-only, so
     # this is the W8A8 recipe with no gradient-side risk)
     a8_dots: bool = False
+    # flash attention for the tower's (b*t, 257)-token self-attention:
+    # the eager path materializes (b*t, H, 257, 257) fp32 scores (~169 MB
+    # per layer at the 10-frame recipe); the flash kernel keeps them in
+    # VMEM (non-causal, maskless)
+    use_flash: bool = False
 
     @property
     def n_patches(self) -> int:
@@ -146,11 +151,16 @@ def clip_hidden_states(params: dict, cfg: ClipVitConfig, images: Array,
         q = dense(y, p["q"]).reshape(bb, L, cfg.n_heads, hd)
         k = dense(y, p["k"]).reshape(bb, L, cfg.n_heads, hd)
         v = dense(y, p["v"]).reshape(bb, L, cfg.n_heads, hd)
-        s = jnp.einsum("bqnh,bknh->bnqk", q, k,
-                       preferred_element_type=jnp.float32)
-        s = s / jnp.sqrt(jnp.float32(hd))
-        pr = jax.nn.softmax(s.astype(jnp.float32), -1)
-        ctx = jnp.einsum("bnqk,bknh->bqnh", pr.astype(v.dtype), v)
+        if cfg.use_flash:
+            from moka_tpu.ops.flash_attention import flash_mha
+            ctx = flash_mha(q, k, v, jnp.ones((bb, L), jnp.int32),
+                            causal=False)
+        else:
+            s = jnp.einsum("bqnh,bknh->bnqk", q, k,
+                           preferred_element_type=jnp.float32)
+            s = s / jnp.sqrt(jnp.float32(hd))
+            pr = jax.nn.softmax(s.astype(jnp.float32), -1)
+            ctx = jnp.einsum("bnqk,bknh->bqnh", pr.astype(v.dtype), v)
         x = r + dense(ctx.reshape(bb, L, h), p["out"])
         r = x
         y = _ln(x, p["ln2"], cfg.ln_eps)

@@ -448,3 +448,24 @@ def test_encoder_a8_dots_close_and_distinct():
                 (jnp.max(jnp.abs(base)) + 1e-9))
     assert err < 0.1, err
     assert float(jnp.max(jnp.abs(a8 - base))) > 0, "a8 path bypassed"
+
+
+def test_clip_flash_attention_parity():
+    """ClipVitConfig.use_flash must match the eager tower numerically
+    (non-causal maskless flash over the 257-token patch sequences)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moka_tpu.models.clip_vit import (ClipVitConfig, clip_hidden_states,
+                                          init_clip_params)
+
+    cfg = ClipVitConfig.tiny()
+    params = init_clip_params(jax.random.key(0), cfg, dtype=jnp.float32)
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, cfg.image_size, cfg.image_size)), jnp.float32)
+    base = clip_hidden_states(params, cfg, imgs, (cfg.n_layers,))[0]
+    fl = clip_hidden_states(params, dataclasses.replace(cfg, use_flash=True),
+                            imgs, (cfg.n_layers,))[0]
+    np.testing.assert_allclose(np.asarray(fl), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)
