@@ -40,7 +40,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         pallas_ce=False, ce_rows=False,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
         flash_rank_attn=False, question_window=None, a8_dots=False,
-        quantize_head=False):
+        quantize_head=False, save_q8=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -104,7 +104,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
                                    remat_policy=remat_policy,
                                    use_fused_moka=fused_moka,
                                    ce_chunk=ce_chunk, a8_dots=a8_dots,
-                                   pallas_ce=pallas_ce, ce_rows=ce_rows)
+                                   pallas_ce=pallas_ce, ce_rows=ce_rows,
+                                   save_q8=save_q8)
     step = make_train_step(loss_fn, tx, donate=True)
     if fwd_only:  # ablation probe: loss evaluation without backward
         fwd = jax.jit(lambda s, f, b: loss_fn(s.params, f, b,
@@ -169,13 +170,15 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
         "rng_impl": rng_impl, "question_window": question_window,
         "a8_dots": a8_dots, "quantized_head": quantize_head,
+        "save_q8": save_q8,
     }
 
 
 def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
                    remat_policy=None, n_video_groups=10, n_audio_groups=10,
                    audio_frames=192, rng_impl="rbg", a8_dots=False,
-                   quantize_head=False, quantize_encoders=False):
+                   quantize_head=False, quantize_encoders=False,
+                   save_q8=False):
     """FULL multimodal fine-tune step at flagship scale: CLIP ViT-L/14 on
     ``n_video_groups`` frames + BEATs on ``n_audio_groups`` fbank segments
     (both frozen, forward every step), two trainable Q-Former projectors
@@ -254,7 +257,7 @@ def run_multimodal(cfg_name, ucfg, batch, seqlen, quantize,
     loss_fn = unified.unified_loss(ucfg, remat=True, use_flash=True,
                                    fused_loss=True,
                                    remat_policy=remat_policy,
-                                   a8_dots=a8_dots)
+                                   a8_dots=a8_dots, save_q8=save_q8)
     tx = make_optimizer(TrainConfig(), total_steps=1000)
     key = jax.random.key(0) if rng_impl is None else \
         jax.random.key(0, impl=rng_impl)
@@ -360,15 +363,29 @@ def _mm_candidates():
         # alongside the weight-only bases
         # + int8 frozen encoders (weight-only): CLIP 303M + BEATs 90M drop
         # ~0.45 GB HBM and halve the encoder weight reads of the fwd pass
-        "avt_7b_int4a8f_qh_qenc": (cfg7b, 4, 1024, 4, "qkvod_lse", "full",
-                                   8, 8),
         # + per-token int8 ACTIVATIONS inside the towers (W8A8 fwd-only
-        # dots on the frozen CLIP/BEATs — the multimodal-gap lever)
+        # dots on the frozen CLIP/BEATs): measured +1.2% over weight-only
+        # towers (r5) — the shipping mm flagship, so it leads the order
         "avt_7b_int4a8f_qh_qenc_ta8": (
             _dc.replace(cfg7b,
                         clip=_dc.replace(cfg7b.clip, a8_dots=True),
                         beats=_dc.replace(cfg7b.beats, a8_dots=True)),
             4, 1024, 4, "qkvod_lse", "full", 8, 8),
+        # + int8-quantized remat save set (save_q8): the ~3 GB of freed
+        # residuals may re-admit the text-flagship proj_nokv_lse policy
+        # (OOMs by ~1.9 GB here without it) — no gate/up recompute in bwd
+        "avt_7b_int4a8f_qh_qenc_ta8_sq8pnl": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "proj_nokv_lse", "full", 8, 8, True),
+        "avt_7b_int4a8f_qh_qenc_ta8_sq8": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "qkvod_lse", "full", 8, 8, True),
+        "avt_7b_int4a8f_qh_qenc": (cfg7b, 4, 1024, 4, "qkvod_lse", "full",
+                                   8, 8),
         # + flash attention in the CLIP tower (scores stay in VMEM instead
         # of ~169 MB/layer fp32 HBM round trips at 40x257 tokens)
         "avt_7b_int4a8f_qh_qenc_ta8f": (
@@ -395,15 +412,16 @@ def run_one_mm(name: str) -> None:
     ucfg, b, L, quant, pol, a8 = v[:6]
     qh = v[6] if len(v) > 6 else False
     qe = v[7] if len(v) > 7 else False
+    sq8 = v[8] if len(v) > 8 else False
     print(json.dumps(run_multimodal(name, ucfg, b, L, quant,
                                     remat_policy=pol, a8_dots=a8,
                                     quantize_head=qh,
-                                    quantize_encoders=qe)))
+                                    quantize_encoders=qe, save_q8=sq8)))
 
 
 def run_vt(cfg_name, vcfg, batch, seqlen, quantize, remat_policy=None,
            a8_dots=False, quantize_head=False, quantize_encoders=False,
-           rng_impl="rbg"):
+           rng_impl="rbg", save_q8=False):
     """FULL VT (bi-modal image/text, LLaVA-family) fine-tune step at
     flagship scale: CLIP ViT-L/14 forward (frozen), the trainable visual
     projector fwd+bwd, the feature splice, and the MokA-VT LLaMA step —
@@ -459,7 +477,7 @@ def run_vt(cfg_name, vcfg, batch, seqlen, quantize, remat_policy=None,
 
     loss_fn = llava.llava_loss(vcfg, remat=True, use_flash=True,
                                fused_loss=True, remat_policy=remat_policy,
-                               a8_dots=a8_dots)
+                               a8_dots=a8_dots, save_q8=save_q8)
     tx = make_optimizer(TrainConfig(), total_steps=1000)
     key = jax.random.key(0) if rng_impl is None else \
         jax.random.key(0, impl=rng_impl)
@@ -532,6 +550,9 @@ def _vt_candidates():
         # (proj_nokv_lse) fits again, unlike the AVT multimodal step
         "vt_7b_int4a8f_qh_qenc": (cfg, 4, 1024, 4, "proj_nokv_lse", "full",
                                   8, 8),
+        # + int8-quantized remat save set (save_q8, r5)
+        "vt_7b_int4a8f_qh_qenc_sq8": (cfg, 4, 1024, 4, "proj_nokv_lse",
+                                      "full", 8, 8, True),
         "vt_7b_int4a8f_qh": (cfg, 4, 1024, 4, "proj_nokv_lse", "full", 8),
         "vt_7b_int4": (cfg, 4, 1024, 4, "qkvod_lse", False),
         "vt_7b_int8": (cfg, 4, 1024, 8, "qkvod_lse", False),
@@ -543,9 +564,10 @@ def run_one_vt(name: str) -> None:
     vcfg, b, L, quant, pol, a8 = v[:6]
     qh = v[6] if len(v) > 6 else False
     qe = v[7] if len(v) > 7 else False
+    sq8 = v[8] if len(v) > 8 else False
     print(json.dumps(run_vt(name, vcfg, b, L, quant, remat_policy=pol,
                             a8_dots=a8, quantize_head=qh,
-                            quantize_encoders=qe)))
+                            quantize_encoders=qe, save_q8=sq8)))
 
 
 def _candidates():
@@ -575,6 +597,16 @@ def _candidates():
         "llama2_7b_int4a8_qh": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                                 1024, 4, "proj_nokv_lse", True, "rbg", 256,
                                 "full", 8),
+        # sq8: remat save set stored as per-token int8 (quant.q8_roundtrip)
+        # — halves the residual bytes of the policy's 5 saved projections
+        # (~2.9 GB at b4xL1024); measured vs the flagship same-day (r5)
+        "llama2_7b_int4a8_qh_sq8": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_nokv_lse", True, "rbg", 256, "full", 8, True),
+        # the freed residual memory re-spent on batch: b6 fits with sq8
+        "llama2_7b_int4a8_qh_sq8_b6": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 6, 1024, 4,
+            "proj_nokv_lse", True, "rbg", 256, "full", 8, True),
         "llama2_7b_int4a8": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                              1024, 4, "proj_nokv_lse", True, "rbg", 256,
                              "full"),
@@ -618,10 +650,11 @@ def run_one(name: str) -> None:
     cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
     a8 = v[8] if len(v) > 8 else False
     qh = v[9] if len(v) > 9 else False
+    sq8 = v[10] if len(v) > 10 else False
     print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
                          bf16_dots=bf16, rng_impl=rng_impl,
                          question_window=qw or None, a8_dots=a8,
-                         quantize_head=qh)))
+                         quantize_head=qh, save_q8=sq8)))
 
 
 def main():

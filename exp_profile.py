@@ -25,6 +25,7 @@ def run_and_trace(name: str) -> str:
     cfg, b, L, quant, pol, bf16, rng_impl, qw = v[:8]
     a8 = v[8] if len(v) > 8 else False
     qh = v[9] if len(v) > 9 else False
+    sq8 = v[10] if len(v) > 10 else False
     outdir = f"/tmp/moka_prof/{name}"
     os.makedirs(outdir, exist_ok=True)
 
@@ -73,7 +74,7 @@ def run_and_trace(name: str) -> str:
                "question_mask": jnp.asarray(q)}
     loss_fn = make_llama_moka_loss(cfg, spec, remat=True, use_flash=True,
                                    fused_loss=True, remat_policy=pol,
-                                   a8_dots=a8)
+                                   a8_dots=a8, save_q8=sq8)
     step = make_train_step(loss_fn, tx, donate=True)
     for _ in range(2):
         state, m = step(state, frozen, batch_d)

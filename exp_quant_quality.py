@@ -116,10 +116,16 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     # trailing "qh": + int8-quantized frozen lm_head (the chunked-CE /
     # logits head dot reads the quantized head; llama.head_logits)
     head_bits = None
-    if variant.endswith("qh"):
-        head_bits, variant_core = 8, variant[:-2]
+    # trailing "sq8": + int8-quantized remat save set (quant.q8_roundtrip)
+    # under the flagship save policy — anchors the save_q8 forward noise
+    sq8 = False
+    vname = variant
+    if vname.endswith("sq8"):
+        sq8, vname = True, vname[:-3]
+    if vname.endswith("qh"):
+        head_bits, variant_core = 8, vname[:-2]
     else:
-        variant_core = variant
+        variant_core = vname
     if variant_core.endswith("a8f"):
         a8, wq = "full", variant_core[:-3]
     elif variant_core.endswith("a8"):
@@ -143,7 +149,10 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     loss_fn = make_llama_moka_loss(
         cfg, spec, remat=(scale != "tiny"),
         use_flash=(scale != "tiny"), fused_loss=(scale != "tiny"),
-        remat_policy=None, a8_dots=a8)
+        remat_policy=("proj_nokv_lse" if sq8 and scale != "tiny" else None),
+        a8_dots=a8,
+        save_q8=(True if scale != "tiny" else
+                 ("q", "o", "down", "gate", "up")) if sq8 else False)
     step = make_train_step(loss_fn, tx, donate=False)
     eval_loss = jax.jit(lambda t, f, bt: loss_fn(t, f, bt,
                                                  jax.random.key(1))[0])
@@ -308,7 +317,7 @@ def run_encoder_variant(variant: str, scale: str = "tiny", seed: int = 0,
 
 
 VARIANTS = ("bf16", "int8", "int4", "int4a8", "int8a8", "int4a8f",
-            "int4a8fqh")
+            "int4a8fqh", "int4a8fqhsq8")
 ENC_VARIANTS = ("encbf16", "enc8", "enc4")
 
 

@@ -93,6 +93,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "quantizes the backward cotangent so the dX dots "
                         "also run int8 (flagship recipe — quality anchored "
                         "in PERFORMANCE.md, exp_quant_quality.py)")
+    p.add_argument("--save-q8", action="store_true",
+                   help="int8-quantize the remat save set (the projection "
+                        "residuals the --remat-policy keeps between fwd and "
+                        "bwd are stored per-token int8 + fp32 scales — half "
+                        "the residual HBM; quant.q8_roundtrip, quality "
+                        "anchored by the sq8 arm of exp_quant_quality.py)")
     p.add_argument("--adapter-fp32", action="store_true",
                    help="true-fp32 adapter einsums (default: bf16-in/"
                         "fp32-acc, the tuned recipe)")
@@ -279,7 +285,8 @@ def main(argv=None):
                                            remat_policy=remat_policy,
                                            use_flash=args.model_preset != "tiny",
                                            fused_loss=args.model_preset != "tiny",
-                                           a8_dots=args.a8_dots),
+                                           a8_dots=args.a8_dots,
+                                           save_q8=args.save_q8),
                       trainable, frozen, tcfg, total_steps, full_config=tcfg)
 
     def batches():

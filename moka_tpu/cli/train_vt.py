@@ -58,6 +58,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--model-preset", choices=["7b", "tiny"], default="7b",
                    help="'tiny' = small random-init model for smoke tests "
                         "(no checkpoints needed)")
+    p.add_argument("--a8-dots", nargs="?", const=True, default=False,
+                   choices=[True, False, "full"],
+                   help="dynamic per-token int8 activations on the "
+                        "quantized frozen-base projections (W4A8/W8A8); "
+                        "'full' also quantizes the backward cotangent "
+                        "(the VT flagship bench recipe)")
+    p.add_argument("--quantize-encoders", nargs="?", type=int, const=8,
+                   default=0, choices=[4, 8], metavar="BITS",
+                   help="weight-only int8/int4 on the frozen CLIP tower")
+    p.add_argument("--save-q8", action="store_true",
+                   help="int8-quantize the remat save set "
+                        "(quant.q8_roundtrip; see finetune --save-q8)")
     return p
 
 
@@ -164,6 +176,10 @@ def main(argv=None):
             frozen["llama"] = quantize_llama_base(
                 frozen["llama"], bits=args.quantize_base,
                 head_bits=args.quantize_head or None)
+    if args.quantize_encoders:
+        from moka_tpu.ops.quant import quantize_encoder
+        frozen["clip"] = quantize_encoder(frozen["clip"],
+                                          bits=args.quantize_encoders)
     frozen = shardlib.shard_params(mesh, frozen,
                                    host_offload=args.host_offload)
     trainable = llava.init_trainable(jax.random.key(args.seed), cfg)
@@ -184,7 +200,11 @@ def main(argv=None):
                        output_dir=args.output_dir, seed=args.seed,
                        remat_policy=remat_policy)
     trainer = Trainer(llava.llava_loss(cfg, remat=True,
-                                       remat_policy=remat_policy),
+                                       use_flash=args.model_preset != "tiny",
+                                       fused_loss=args.model_preset != "tiny",
+                                       remat_policy=remat_policy,
+                                       a8_dots=args.a8_dots,
+                                       save_q8=args.save_q8),
                       trainable, frozen, tcfg, total_steps)
 
     def batches():

@@ -117,9 +117,19 @@ class MaskBundle:
 def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
                 dropout_rng: Array | None, fused: bool = False,
-                a8: bool | str = False) -> Array:
+                a8: bool | str = False,
+                save_q8: tuple = ()) -> Array:
     from jax.ad_checkpoint import checkpoint_name
     from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
+
+    def tag(y: Array) -> Array:
+        # save_q8: store this projection's remat residual as per-token int8
+        # (+fp32 scales) instead of bf16 — halves save-set bytes (quant.py
+        # ``q8_roundtrip``); downstream consumes the dequantized value.
+        if name in save_q8:
+            from moka_tpu.ops.quant import q8_roundtrip
+            return q8_roundtrip(f"proj_{name}", y)
+        return checkpoint_name(y, f"proj_{name}")
     if a8 and is_quantized(base_w) and x.ndim == 3:
         # W4A8/W8A8: int8 activations ride the MXU's int8 path.  a8=True
         # keeps backward on the bf16 straight-through dX; a8="full" also
@@ -128,7 +138,7 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
     else:
         y = qmatmul(x, base_w)
     if adapters is None or name not in adapters:
-        return checkpoint_name(y, f"proj_{name}")
+        return tag(y)
     a, b = adapters[name]["a"], adapters[name]["b"]
     if masks is None:
         # decode steps / text-only: text-adapter fast path (lora.py:373-381)
@@ -145,17 +155,17 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
         if rng is not None:
             from moka_tpu.ops.moka import lora_dropout
             x_d = lora_dropout(x, rng, spec.dropout_rate)
-        return checkpoint_name(
+        return tag(
             y + moka_delta_fused(x_d, a, b, masks.modality, masks.question,
-                                 spec), f"proj_{name}")
-    return checkpoint_name(
+                                 spec))
+    return tag(
         y + moka_delta(x, a, b, masks.modality, masks.question, spec,
-                       dropout_rng=rng), f"proj_{name}")
+                       dropout_rng=rng))
 
 
 def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
                    use_fused_moka: bool, paged_decode: bool,
-                   a8_dots: bool | str,
+                   a8_dots: bool | str, save_q8: tuple,
                    context_parallel, host_stream,
                    h: Array, layer: dict, adapters: dict | None,
                    masks: MaskBundle | None, bias: Array | None,
@@ -184,7 +194,8 @@ def _decoder_layer(cfg: LlamaConfig, spec: MokaSpec | None, use_flash: bool,
 
     proj = functools.partial(_apply_proj, adapters=adapters, spec=spec,
                              masks=masks, dropout_rng=dropout_rng,
-                             fused=use_fused_moka, a8=a8_dots)
+                             fused=use_fused_moka, a8=a8_dots,
+                             save_q8=save_q8)
 
     x = rmsnorm(h, layer["attn_norm"], cfg.rms_eps)
     q = proj("q", x=x, base_w=layer["q"]).reshape(b, L, H, hd)
@@ -320,6 +331,29 @@ def _remat_policy(name: str | None):
     raise ValueError(f"unknown remat policy {name!r}")
 
 
+# The projection outputs each named policy saves — used by ``save_q8=True``
+# to quantize exactly the saved residuals (quantizing an unsaved projection
+# would add forward noise for zero memory/traffic benefit).
+_POLICY_SAVED_PROJS = {
+    "qkv": ("q", "k", "v"),
+    "qkvod": ("q", "k", "v", "o", "down"),
+    "qkvod_lse": ("q", "k", "v", "o", "down"),
+    "mlp": ("gate", "up"),
+    "proj": tuple(PROJ_DIMS),
+    "proj_nokv": ("q", "o", "down", "gate", "up"),
+    "proj_nokv_lse": ("q", "o", "down", "gate", "up"),
+    "proj_noqkv": ("o", "down", "gate", "up"),
+}
+
+
+def _resolve_save_q8(save_q8, remat_policy: str | None) -> tuple:
+    if not save_q8:
+        return ()
+    if save_q8 is True:
+        return _POLICY_SAVED_PROJS.get(remat_policy, ())
+    return tuple(save_q8)
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16, quantized: bool = False) -> dict:
     """``quantized=True`` stores the cache int8 with per-(token, head) fp32
@@ -394,6 +428,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
             use_fused_moka: bool = False,
             paged_decode: bool = False,
             a8_dots: bool | str = False,
+            save_q8: bool | tuple = False,
             context_parallel=None,
             host_stream: dict | None = None):
     """Full decoder forward.
@@ -406,6 +441,14 @@ def forward(base: dict, cfg: LlamaConfig, *,
       that mesh axis and run attention as a k/v ring over ICI
       (``parallel/ring_attention.py``).  Training/prefill only (no cache);
       composes with remat and the MokA masks.  Supersedes ``use_flash``.
+    save_q8: quantize the remat save set — the saved projection residuals
+      are stored as per-token int8 + fp32 scales instead of bf16 (half the
+      residual HBM and save/read traffic; ``ops.quant.q8_roundtrip``).
+      ``True`` derives the set from ``remat_policy`` (exactly its saved
+      projections); a tuple of proj names ("gate", "up", ...) selects
+      explicitly.  Downstream consumes the dequantized values — an
+      O(1/127) per-token noise term of the same kind the a8 dots inject,
+      bounded by the 1B quality anchor's ``sq8`` arm.
     host_stream: when the ``base`` tree lives in ``pinned_host`` memory
       (``parallel.sharding.shard_params(host_offload=True)``), pass
       ``parallel.sharding.stream_shardings(mesh, base)``: each layer's
@@ -452,6 +495,7 @@ def forward(base: dict, cfg: LlamaConfig, *,
 
     layer_fn = functools.partial(_decoder_layer, cfg, spec, use_flash,
                                  use_fused_moka, paged_decode, a8_dots,
+                                 _resolve_save_q8(save_q8, remat_policy),
                                  context_parallel, host_stream)
     if remat:
         layer_fn = jax.checkpoint(

@@ -116,7 +116,8 @@ def _masks(batch: dict) -> llama.MaskBundle:
 def llava_loss(cfg: LlavaConfig, remat: bool = True,
                use_flash: bool = False, fused_loss: bool = False,
                remat_policy: str | None = None,
-               a8_dots: bool | str = False):
+               a8_dots: bool | str = False,
+               save_q8: bool | tuple = False):
     def loss_fn(trainable, frozen, batch, rng):
         embeds = build_inputs_embeds(trainable, frozen, cfg, batch)
         out, _ = llama.forward(
@@ -126,6 +127,7 @@ def llava_loss(cfg: LlavaConfig, remat: bool = True,
             positions=batch.get("positions"), remat=remat,
             remat_policy=remat_policy,
             use_flash=use_flash, logits=not fused_loss, a8_dots=a8_dots,
+            save_q8=save_q8,
             dropout_rng=rng if cfg.spec.dropout_rate > 0 else None)
         if fused_loss:
             loss = llama.chunked_cross_entropy(

@@ -216,7 +216,8 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
                  fused_loss: bool = False,
                  remat_policy: str | None = None,
                  mesh=None, batch_axes=("data", "fsdp"),
-                 a8_dots: bool | str = False):
+                 a8_dots: bool | str = False,
+                 save_q8: bool | tuple = False):
     """Loss closure for the generic train step.  ``train_adapters=False`` =
     stage-1 pretraining (plain-linear twin: no adapter deltas at all,
     ``modeling_llama_post_pretrian.py``).  ``remat_policy``: see
@@ -237,7 +238,7 @@ def unified_loss(cfg: UnifiedConfig, remat: bool = True,
             inputs_embeds=embeds, masks=masks if adapters is not None else None,
             attn_mask=batch["attn_mask"], positions=batch["positions"],
             remat=remat, remat_policy=remat_policy, use_flash=use_flash,
-            logits=not fused_loss, a8_dots=a8_dots,
+            logits=not fused_loss, a8_dots=a8_dots, save_q8=save_q8,
             dropout_rng=rng if (spec and spec.dropout_rate > 0) else None)
         if fused_loss:
             loss = llama.chunked_cross_entropy(

@@ -112,6 +112,52 @@ def _a8_quantize(x: Array) -> tuple[Array, Array]:
     return q.astype(jnp.int8), sx
 
 
+def _q8rt_impl(name: str, y: Array) -> Array:
+    from jax.ad_checkpoint import checkpoint_name
+    q, s = _a8_quantize(y)
+    # Both carry the SAME policy name: ``save_only_these_names`` keeps every
+    # value tagged with a listed name, so the int8 codes and their fp32
+    # per-token scales are saved together while the bf16 activation is not.
+    q = checkpoint_name(q, name)
+    s = checkpoint_name(s, name)
+    return (q.astype(jnp.float32) * s).astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def q8_roundtrip(name: str, y: Array) -> Array:
+    """Per-token int8 quantize->dequantize with a straight-through gradient.
+
+    Used to QUANTIZE THE REMAT SAVE SET: a projection output tagged for a
+    ``jax.checkpoint`` save policy normally pins its full bf16 tensor in HBM
+    between forward and backward (2 bytes/elem written at fwd, read at bwd).
+    Routing it through this op instead tags the int8 codes + per-token fp32
+    scales with the policy ``name`` (1.03 bytes/elem) — the backward
+    recompute starts from the saved int8 pair, so both the residual memory
+    and the save/read HBM traffic halve.  The precedent is the same dynamic
+    per-token scheme the W4A8 dots already apply to every projection INPUT
+    (``qmatmul_a8``); here the projection OUTPUT is additionally rounded, a
+    forward-noise term of the same O(1/127) order the 1B quality anchor
+    bounds end to end (``exp_quant_quality.py`` sq8 arm).
+
+    The gradient is the straight-through identity (the rounding carries no
+    useful derivative), matching the a8 dots' convention.  The reference has
+    no analog — its grad checkpointing recomputes full layers from bf16
+    inputs (``modeling_llama.py:719-733``).
+    """
+    return _q8rt_impl(name, y)
+
+
+def _q8rt_fwd(name, y):
+    return _q8rt_impl(name, y), None
+
+
+def _q8rt_bwd(name, _, g):
+    return (g,)
+
+
+q8_roundtrip.defvjp(_q8rt_fwd, _q8rt_bwd)
+
+
 def _a8_fwd_impl(x: Array, w: dict, out_dtype=None) -> Array:
     xq, sx = _a8_quantize(x)
     if "w_i4" in w:

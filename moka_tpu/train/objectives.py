@@ -22,7 +22,8 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
                          a8_dots: bool | str = False,
                          pallas_ce: bool = False,
                          host_stream: dict | None = None,
-                         ce_rows: bool = False):
+                         ce_rows: bool = False,
+                         save_q8: bool | tuple = False):
     """Adapter-only CE loss on a (possibly multimodal-embedded) batch.
 
     Batch keys: either ``tokens`` (b, L) or ``inputs_embeds`` (b, L, d);
@@ -36,6 +37,9 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
     the frozen base lives in ``pinned_host`` (100B-class param offload):
     layer weights stream host->device per scan iteration, the lm_head is
     DMA'd once before the fused-CE chunk scan.
+    save_q8: store the remat-saved projection residuals as per-token int8
+    (+fp32 scales) instead of bf16 (``quant.q8_roundtrip``); ``True``
+    quantizes exactly the set the active ``remat_policy`` saves.
     """
 
     def loss_fn(trainable, frozen, batch, rng):
@@ -53,6 +57,7 @@ def make_llama_moka_loss(cfg: LlamaConfig, spec: MokaSpec,
             dropout_rng=rng if spec.dropout_rate > 0 else None,
             logits=not fused_loss, use_flash=use_flash,
             use_fused_moka=use_fused_moka, a8_dots=a8_dots,
+            save_q8=save_q8,
             context_parallel=context_parallel, host_stream=host_stream)
         if fused_loss:
             lm_head = frozen["lm_head"]

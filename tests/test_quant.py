@@ -469,3 +469,88 @@ def test_clip_flash_attention_parity():
                             imgs, (cfg.n_layers,))[0]
     np.testing.assert_allclose(np.asarray(fl), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_q8_roundtrip_value_and_straight_through_grad():
+    """quant.q8_roundtrip: per-token int8 quantize->dequantize error bound
+    and identity (straight-through) gradient."""
+    from moka_tpu.ops.quant import q8_roundtrip
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((2, 8, 32)) * 3.0, jnp.float32)
+    out = np.asarray(q8_roundtrip("probe", y))
+    rowmax = np.abs(np.asarray(y)).max(-1, keepdims=True)
+    assert np.all(np.abs(out - np.asarray(y)) <= rowmax / 127 * 0.5 + 1e-6)
+
+    g = jax.grad(lambda v: float(2.0) * jnp.sum(q8_roundtrip("probe", v)))(y)
+    np.testing.assert_allclose(np.asarray(g), 2.0)
+
+    # all-zero rows quantize to exact zeros (scale-1 guard in _a8_quantize)
+    z = jnp.zeros((1, 4, 16), jnp.float32)
+    assert float(jnp.abs(q8_roundtrip("probe", z)).max()) == 0.0
+
+    # bf16 activations (the flagship's working dtype) keep their dtype and
+    # the same per-token bound
+    yb = y.astype(jnp.bfloat16)
+    ob = q8_roundtrip("probe", yb)
+    assert ob.dtype == jnp.bfloat16
+    err = np.abs(np.asarray(ob, np.float32) - np.asarray(yb, np.float32))
+    assert np.all(err <= rowmax / 127 * 0.5 + 0.02 * rowmax)  # + bf16 ulp
+
+
+def test_save_q8_train_step_close_and_trains():
+    """save_q8=True (quantized remat save set) through the full decoder:
+    loss within 2% of the unquantized-save path, gradients close, and
+    adapter training still converges under the policy whose saved
+    projections it quantizes."""
+    rng = np.random.default_rng(0)
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    q4 = quantize_llama_base(base, bits=4)
+    t2 = jnp.asarray(rng.integers(4, 64, (2, 16)), jnp.int32)
+    mod = np.zeros((3, 2, 16), np.float32)
+    mod[0, :, :8] = 1
+    mod[1, :, 8:12] = 1
+    mod[2, :, 12:] = 1
+    qm = np.zeros((2, 16), np.float32)
+    qm[:, 4:8] = 1
+    batch = {"tokens": t2, "labels": t2,
+             "modality_masks": jnp.asarray(mod),
+             "question_mask": jnp.asarray(qm)}
+    trainable = {"adapters": llama.init_moka_adapters(jax.random.key(2),
+                                                      CFG, SPEC)}
+    kw = dict(remat=True, remat_policy="proj_nokv", a8_dots="full")
+    loss_ref = make_llama_moka_loss(CFG, SPEC, **kw)
+    loss_q8 = make_llama_moka_loss(CFG, SPEC, save_q8=True, **kw)
+    l_ref = float(loss_ref(trainable, q4, batch, jax.random.key(0))[0])
+    l_q8 = float(loss_q8(trainable, q4, batch, jax.random.key(0))[0])
+    assert abs(l_q8 - l_ref) / abs(l_ref) < 0.02, (l_ref, l_q8)
+    assert l_q8 != l_ref  # the quantized saves really are in the fwd path
+
+    g_ref = jax.grad(lambda t: loss_ref(t, q4, batch, jax.random.key(0))[0])(
+        trainable)
+    g_q8 = jax.grad(lambda t: loss_q8(t, q4, batch, jax.random.key(0))[0])(
+        trainable)
+    nr = float(jnp.sqrt(sum(jnp.sum(a.astype(jnp.float32) ** 2)
+                            for a in jax.tree.leaves(g_ref))))
+    nd = float(jnp.sqrt(sum(jnp.sum((a - b).astype(jnp.float32) ** 2)
+                            for a, b in zip(jax.tree.leaves(g_ref),
+                                            jax.tree.leaves(g_q8)))))
+    assert nd / nr < 0.05, nd / nr
+
+    # explicit proj-name tuple selects the same path as the policy-derived
+    # set for this policy
+    loss_t = make_llama_moka_loss(
+        CFG, SPEC, save_q8=("q", "o", "down", "gate", "up"), **kw)
+    assert float(loss_t(trainable, q4, batch, jax.random.key(0))[0]) == l_q8
+
+    tx = make_optimizer(TrainConfig(learning_rate=5e-3, warmup_ratio=0.0,
+                                    lr_schedule="constant"), total_steps=30)
+    step = make_train_step(loss_q8, tx)
+    state = init_train_state(jax.tree.map(jnp.copy, trainable), tx,
+                             jax.random.key(0))
+    losses = []
+    for _ in range(20):
+        state, m = step(state, q4, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::6]

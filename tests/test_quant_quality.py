@@ -21,7 +21,7 @@ STEPS = 100
 def runs():
     return {v: run_variant(v, "tiny", steps=STEPS)
             for v in ("bf16", "int8", "int4", "int4a8", "int4a8f",
-                      "int4a8fqh")}
+                      "int4a8fqh", "int4a8fqhsq8")}
 
 
 def test_training_actually_learns(runs):
@@ -77,6 +77,41 @@ def test_int4a8fqh_within_band_of_bf16(runs):
         ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
     for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
         assert i == j and abs(a - b) / a < 0.02, (i, a, b)
+
+
+def test_int4a8fqhsq8_within_band_of_bf16(runs):
+    """Quantized remat save set (save_q8 / quant.q8_roundtrip): the int8
+    per-token rounding of the saved projection residuals adds forward noise
+    on top of the full flagship recipe — the curve must stay in the same
+    band, and must actually differ from the non-sq8 arm (the quantized
+    saves are in the forward path)."""
+    ref, q = runs["bf16"], runs["int4a8fqhsq8"]
+    assert abs(q["heldout_loss"] - ref["heldout_loss"]) / \
+        ref["heldout_loss"] < 0.02, (q["heldout_loss"], ref["heldout_loss"])
+    for (i, a), (j, b) in zip(ref["train_curve"], q["train_curve"]):
+        assert i == j and abs(a - b) / a < 0.02, (i, a, b)
+
+
+def test_save_q8_actually_quantizes():
+    """Guard against a silently-bypassed save_q8 path: at tiny scale the
+    per-token rounding shifts the loss only in the ~5th decimal (the stored
+    curves round to 4), so check the forward directly: logits must differ
+    from the non-sq8 path by a small nonzero amount."""
+    import jax
+    import jax.numpy as jnp
+    from moka_tpu.core.config import LlamaConfig
+    from moka_tpu.models import llama
+    cfg = LlamaConfig.tiny(vocab_size=64)
+    base = llama.init_llama_params(jax.random.key(0), cfg,
+                                   dtype=jnp.float32)
+    toks = jnp.arange(32).reshape(2, 16) % 64
+    names = ("q", "o", "down", "gate", "up")
+    plain, _ = llama.forward(base, cfg, tokens=toks)
+    sq8, _ = llama.forward(base, cfg, tokens=toks, save_q8=names)
+    d = float(jnp.max(jnp.abs(plain - sq8)))
+    rel = d / float(jnp.max(jnp.abs(plain)))
+    assert d > 0, "save_q8 produced bitwise-identical logits"
+    assert rel < 0.05, rel
 
 
 def test_quantized_forward_is_actually_different(runs):
