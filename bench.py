@@ -607,6 +607,15 @@ def _candidates():
         "llama2_7b_int4a8_qh_sq8_b6": (
             LlamaConfig.llama2_7b(vocab_size=32011), 6, 1024, 4,
             "proj_nokv_lse", True, "rbg", 256, "full", 8, True),
+        # gate/up only (explicit tuple): ~60% of the byte win with 4 extra
+        # scan residuals instead of 10 (compile-time/fusion tradeoff probe)
+        "llama2_7b_int4a8_qh_sq8gu": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_nokv_lse", True, "rbg", 256, "full", 8, ("gate", "up")),
+        # fp8-e4m3 saves: single convert, no abs-max reduction or scales
+        "llama2_7b_int4a8_qh_sfp8": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_nokv_lse", True, "rbg", 256, "full", 8, "fp8"),
         "llama2_7b_int4a8": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                              1024, 4, "proj_nokv_lse", True, "rbg", 256,
                              "full"),

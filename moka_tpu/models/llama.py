@@ -118,17 +118,20 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
                 spec: MokaSpec | None, masks: MaskBundle | None,
                 dropout_rng: Array | None, fused: bool = False,
                 a8: bool | str = False,
-                save_q8: tuple = ()) -> Array:
+                save_q8: tuple = ("int8", ())) -> Array:
     from jax.ad_checkpoint import checkpoint_name
     from moka_tpu.ops.quant import is_quantized, qmatmul, qmatmul_a8
 
     def tag(y: Array) -> Array:
-        # save_q8: store this projection's remat residual as per-token int8
-        # (+fp32 scales) instead of bf16 — halves save-set bytes (quant.py
-        # ``q8_roundtrip``); downstream consumes the dequantized value.
-        if name in save_q8:
-            from moka_tpu.ops.quant import q8_roundtrip
-            return q8_roundtrip(f"proj_{name}", y)
+        # save_q8 = (mode, names): store this projection's remat residual
+        # as per-token int8 (+fp32 scales) or fp8-e4m3 instead of bf16 —
+        # halves save-set bytes (quant.q8_roundtrip / fp8_roundtrip);
+        # downstream consumes the dequantized value.
+        mode, names = save_q8
+        if name in names:
+            from moka_tpu.ops.quant import fp8_roundtrip, q8_roundtrip
+            fn = fp8_roundtrip if mode == "fp8" else q8_roundtrip
+            return fn(f"proj_{name}", y)
         return checkpoint_name(y, f"proj_{name}")
     if a8 and is_quantized(base_w) and x.ndim == 3:
         # W4A8/W8A8: int8 activations ride the MXU's int8 path.  a8=True
@@ -347,11 +350,19 @@ _POLICY_SAVED_PROJS = {
 
 
 def _resolve_save_q8(save_q8, remat_policy: str | None) -> tuple:
+    """-> (mode, proj_names).  True/"fp8" derive the set from the policy
+    (int8 / fp8-e4m3 storage); a tuple of proj names selects explicitly
+    (int8, or fp8 with a leading "fp8" element)."""
     if not save_q8:
-        return ()
+        return ("int8", ())
     if save_q8 is True:
-        return _POLICY_SAVED_PROJS.get(remat_policy, ())
-    return tuple(save_q8)
+        return ("int8", _POLICY_SAVED_PROJS.get(remat_policy, ()))
+    if save_q8 == "fp8":
+        return ("fp8", _POLICY_SAVED_PROJS.get(remat_policy, ()))
+    names = tuple(save_q8)
+    if names and names[0] == "fp8":
+        return ("fp8", names[1:])
+    return ("int8", names)
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
@@ -446,7 +457,9 @@ def forward(base: dict, cfg: LlamaConfig, *,
       residual HBM and save/read traffic; ``ops.quant.q8_roundtrip``).
       ``True`` derives the set from ``remat_policy`` (exactly its saved
       projections); a tuple of proj names ("gate", "up", ...) selects
-      explicitly.  Downstream consumes the dequantized values — an
+      explicitly; ``"fp8"`` (or a tuple led by "fp8") stores fp8-e4m3
+      instead — one convert, no scale tensors (``quant.fp8_roundtrip``).
+      Downstream consumes the dequantized values — an
       O(1/127) per-token noise term of the same kind the a8 dots inject,
       bounded by the 1B quality anchor's ``sq8`` arm.
     host_stream: when the ``base`` tree lives in ``pinned_host`` memory

@@ -123,6 +123,36 @@ def _q8rt_impl(name: str, y: Array) -> Array:
     return (q.astype(jnp.float32) * s).astype(y.dtype)
 
 
+def _fp8rt_impl(name: str, y: Array) -> Array:
+    # fp8 variant: a single convert, no per-token scale reduction.  e4m3
+    # clips at +-448 — fine for normalized-transformer activations (the
+    # quality anchor bounds it end to end); e5m2 would trade 4x range for
+    # a ~6% per-element rounding step, too coarse here.
+    from jax.ad_checkpoint import checkpoint_name
+    q = checkpoint_name(y.astype(jnp.float8_e4m3fn), name)
+    return q.astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fp8_roundtrip(name: str, y: Array) -> Array:
+    """fp8-e4m3 variant of ``q8_roundtrip``: same straight-through save-set
+    quantization, but a single elementwise convert (no abs-max reduction,
+    no scale tensor) — 1 byte/elem saved residuals with ~2^-3 relative
+    rounding and +-448 range."""
+    return _fp8rt_impl(name, y)
+
+
+def _fp8rt_fwd(name, y):
+    return _fp8rt_impl(name, y), None
+
+
+def _fp8rt_bwd(name, _, g):
+    return (g,)
+
+
+fp8_roundtrip.defvjp(_fp8rt_fwd, _fp8rt_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def q8_roundtrip(name: str, y: Array) -> Array:
     """Per-token int8 quantize->dequantize with a straight-through gradient.

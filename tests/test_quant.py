@@ -554,3 +554,27 @@ def test_save_q8_train_step_close_and_trains():
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1, losses[::6]
+
+
+def test_fp8_roundtrip_and_forward_variant():
+    """fp8-e4m3 save-set variant: value close, straight-through grad, and
+    the ("fp8", ...) tuple form routes the decoder through it."""
+    from moka_tpu.ops.quant import fp8_roundtrip
+
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(rng.standard_normal((2, 8, 32)) * 3.0, jnp.float32)
+    out = np.asarray(fp8_roundtrip("probe", y))
+    # e4m3: 3 mantissa bits -> relative step <= 2^-3 (plus denormal floor)
+    assert np.all(np.abs(out - np.asarray(y)) <=
+                  np.abs(np.asarray(y)) * 0.0667 + 2e-2)
+    g = jax.grad(lambda v: 3.0 * jnp.sum(fp8_roundtrip("probe", v)))(y)
+    np.testing.assert_allclose(np.asarray(g), 3.0)
+
+    base = llama.init_llama_params(jax.random.key(0), CFG, dtype=jnp.float32)
+    toks = jnp.arange(32).reshape(2, 16) % 64
+    plain, _ = llama.forward(base, CFG, tokens=toks)
+    f8, _ = llama.forward(base, CFG, tokens=toks,
+                          save_q8=("fp8", "gate", "up", "o"))
+    d = float(jnp.max(jnp.abs(plain - f8)))
+    assert d > 0, "fp8 save path bypassed"
+    assert d / float(jnp.max(jnp.abs(plain))) < 0.1
