@@ -363,22 +363,30 @@ def _mm_candidates():
         # alongside the weight-only bases
         # + int8 frozen encoders (weight-only): CLIP 303M + BEATs 90M drop
         # ~0.45 GB HBM and halve the encoder weight reads of the fwd pass
-        # + per-token int8 ACTIVATIONS inside the towers (W8A8 fwd-only
-        # dots on the frozen CLIP/BEATs): measured +1.2% over weight-only
-        # towers (r5) — the shipping mm flagship, so it leads the order
-        "avt_7b_int4a8f_qh_qenc_ta8": (
-            _dc.replace(cfg7b,
-                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
-                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
-            4, 1024, 4, "qkvod_lse", "full", 8, 8),
-        # + int8-quantized remat save set (save_q8): the ~3 GB of freed
-        # residuals may re-admit the text-flagship proj_nokv_lse policy
-        # (OOMs by ~1.9 GB here without it) — no gate/up recompute in bwd
+        # The shipping mm flagship (r5): tower W8A8 a8 dots (+1.2%) AND the
+        # int8-quantized remat save set, whose ~3 GB of freed residuals
+        # re-admit the text-flagship proj_nokv_lse policy (OOMs by ~1.9 GB
+        # here without it) — no gate/up or flash-fwd recompute in backward.
+        # Measured 4,870/4,917 vs 4,653/4,717 at qkvod_lse (+4.7%/+4.2%);
+        # sq8 at qkvod_lse without the policy switch is neutral (4,629),
+        # i.e. the win is the policy upgrade the freed memory buys.
         "avt_7b_int4a8f_qh_qenc_ta8_sq8pnl": (
             _dc.replace(cfg7b,
                         clip=_dc.replace(cfg7b.clip, a8_dots=True),
                         beats=_dc.replace(cfg7b.beats, a8_dots=True)),
             4, 1024, 4, "proj_nokv_lse", "full", 8, 8, True),
+        # widest policy (proj_lse) on the mm step, int8 residuals
+        "avt_7b_int4a8f_qh_qenc_ta8_sq8plse": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "proj_lse", "full", 8, 8, True),
+        # tower a8 dots alone (no sq8): the r5 pre-sq8 best
+        "avt_7b_int4a8f_qh_qenc_ta8": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "qkvod_lse", "full", 8, 8),
         "avt_7b_int4a8f_qh_qenc_ta8_sq8": (
             _dc.replace(cfg7b,
                         clip=_dc.replace(cfg7b.clip, a8_dots=True),
@@ -548,11 +556,17 @@ def _vt_candidates():
     return {
         # one tower (CLIP) instead of two: the text-only flagship policy
         # (proj_nokv_lse) fits again, unlike the AVT multimodal step
-        "vt_7b_int4a8f_qh_qenc": (cfg, 4, 1024, 4, "proj_nokv_lse", "full",
-                                  8, 8),
-        # + int8-quantized remat save set (save_q8, r5)
+        # The shipping VT flagship (r5): + int8-quantized remat save set.
+        # Unlike the text step (sq8 neutral there), the tower-resident VT
+        # step is memory-pressured enough that the ~3 GB of freed residuals
+        # buy real scheduling room: 4,988/5,075 vs 4,835/4,873 (+3.2/+4.1%)
         "vt_7b_int4a8f_qh_qenc_sq8": (cfg, 4, 1024, 4, "proj_nokv_lse",
                                       "full", 8, 8, True),
+        # widest policy (proj_lse) + int8 residuals
+        "vt_7b_int4a8f_qh_qenc_sq8plse": (cfg, 4, 1024, 4, "proj_lse",
+                                          "full", 8, 8, True),
+        "vt_7b_int4a8f_qh_qenc": (cfg, 4, 1024, 4, "proj_nokv_lse", "full",
+                                  8, 8),
         "vt_7b_int4a8f_qh": (cfg, 4, 1024, 4, "proj_nokv_lse", "full", 8),
         "vt_7b_int4": (cfg, 4, 1024, 4, "qkvod_lse", False),
         "vt_7b_int8": (cfg, 4, 1024, 8, "qkvod_lse", False),
@@ -594,6 +608,15 @@ def _candidates():
         # bf16 head ~3x per chunk per step (measured bandwidth-saturated,
         # 2,608 GB/s); int8 halves the bytes and the a8 path runs the chunk
         # dots int8 x int8 on the MXU.
+        # The shipping text flagship (r5): int8-quantized remat save set
+        # (save_q8) + the widest save policy (proj_lse: all 7 projection
+        # outputs + flash residuals — zero projection recompute in
+        # backward), which only fits beside the int4 base BECAUSE the
+        # residuals are int8.  Measured 5,413.7/5,460.7 vs 5,325.5/5,371.6
+        # at proj_nokv_lse (+1.7%) — crosses 2.0x vs the A100 estimate.
+        "llama2_7b_int4a8_qh_sq8_plse": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_lse", True, "rbg", 256, "full", 8, True),
         "llama2_7b_int4a8_qh": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                                 1024, 4, "proj_nokv_lse", True, "rbg", 256,
                                 "full", 8),

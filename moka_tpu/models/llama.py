@@ -329,6 +329,13 @@ def _remat_policy(name: str | None):
     if name == "proj_noqkv":
         return save("attn_out", "proj_o", "proj_down", "proj_gate",
                     "proj_up")
+    if name == "proj_lse":
+        # ALL 7 projection outputs + the flash residuals: zero projection
+        # recompute in backward (only rmsnorm/rope/elementwise re-run).
+        # Exceeds one 16 GB chip beside an int4 base in bf16; fits with
+        # the int8-quantized save set (save_q8) — measured r5.
+        return save("flash_out", "flash_lse",
+                    *(f"proj_{n}" for n in PROJ_DIMS))
     if name == "dots":
         return jax.checkpoint_policies.dots_saveable
     raise ValueError(f"unknown remat policy {name!r}")
@@ -346,6 +353,7 @@ _POLICY_SAVED_PROJS = {
     "proj_nokv": ("q", "o", "down", "gate", "up"),
     "proj_nokv_lse": ("q", "o", "down", "gate", "up"),
     "proj_noqkv": ("o", "down", "gate", "up"),
+    "proj_lse": tuple(PROJ_DIMS),
 }
 
 

@@ -179,7 +179,7 @@ def test_remat_policy_grads_match_no_remat():
     for use_flash in (False, True):
         ref = jax.grad(loss_fn)(adapters, False, None, use_flash)
         for policy in ("qkvod", "qkvod_lse", "proj_nokv", "proj_nokv_lse",
-                       "proj"):
+                       "proj", "proj_lse"):
             got = jax.grad(loss_fn)(adapters, True, policy, use_flash)
             for (p1, g1), (p2, g2) in zip(
                     jax.tree_util.tree_leaves_with_path(ref),
