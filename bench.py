@@ -364,6 +364,15 @@ def _mm_candidates():
         # + int8 frozen encoders (weight-only): CLIP 303M + BEATs 90M drop
         # ~0.45 GB HBM and halve the encoder weight reads of the fwd pass
         # The shipping mm flagship (r5): tower W8A8 a8 dots (+1.2%) AND the
+        # int8-quantized save set at the WIDEST policy (proj_lse): measured
+        # 4,946/4,988 vs 4,870/4,917 at proj_nokv_lse and 4,653/4,717 at
+        # qkvod_lse (the policy ladder sq8's freed memory climbs)
+        "avt_7b_int4a8f_qh_qenc_ta8_sq8plse": (
+            _dc.replace(cfg7b,
+                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
+                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
+            4, 1024, 4, "proj_lse", "full", 8, 8, True),
+        # sq8 at proj_nokv_lse (the first sq8 win) and the
         # int8-quantized remat save set, whose ~3 GB of freed residuals
         # re-admit the text-flagship proj_nokv_lse policy (OOMs by ~1.9 GB
         # here without it) — no gate/up or flash-fwd recompute in backward.
@@ -375,12 +384,6 @@ def _mm_candidates():
                         clip=_dc.replace(cfg7b.clip, a8_dots=True),
                         beats=_dc.replace(cfg7b.beats, a8_dots=True)),
             4, 1024, 4, "proj_nokv_lse", "full", 8, 8, True),
-        # widest policy (proj_lse) on the mm step, int8 residuals
-        "avt_7b_int4a8f_qh_qenc_ta8_sq8plse": (
-            _dc.replace(cfg7b,
-                        clip=_dc.replace(cfg7b.clip, a8_dots=True),
-                        beats=_dc.replace(cfg7b.beats, a8_dots=True)),
-            4, 1024, 4, "proj_lse", "full", 8, 8, True),
         # tower a8 dots alone (no sq8): the r5 pre-sq8 best
         "avt_7b_int4a8f_qh_qenc_ta8": (
             _dc.replace(cfg7b,
@@ -556,15 +559,17 @@ def _vt_candidates():
     return {
         # one tower (CLIP) instead of two: the text-only flagship policy
         # (proj_nokv_lse) fits again, unlike the AVT multimodal step
-        # The shipping VT flagship (r5): + int8-quantized remat save set.
+        # The shipping VT flagship (r5): int8-quantized save set at the
+        # widest policy: 5,196/5,243 vs 4,988/5,075 (sq8 @ proj_nokv_lse)
+        # vs 4,835/4,873 (bf16 saves) — +7.5% total
+        "vt_7b_int4a8f_qh_qenc_sq8plse": (cfg, 4, 1024, 4, "proj_lse",
+                                          "full", 8, 8, True),
+        # sq8 at proj_nokv_lse: the intermediate rung.
         # Unlike the text step (sq8 neutral there), the tower-resident VT
         # step is memory-pressured enough that the ~3 GB of freed residuals
         # buy real scheduling room: 4,988/5,075 vs 4,835/4,873 (+3.2/+4.1%)
         "vt_7b_int4a8f_qh_qenc_sq8": (cfg, 4, 1024, 4, "proj_nokv_lse",
                                       "full", 8, 8, True),
-        # widest policy (proj_lse) + int8 residuals
-        "vt_7b_int4a8f_qh_qenc_sq8plse": (cfg, 4, 1024, 4, "proj_lse",
-                                          "full", 8, 8, True),
         "vt_7b_int4a8f_qh_qenc": (cfg, 4, 1024, 4, "proj_nokv_lse", "full",
                                   8, 8),
         "vt_7b_int4a8f_qh": (cfg, 4, 1024, 4, "proj_nokv_lse", "full", 8),
@@ -661,6 +666,17 @@ def _candidates():
             _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
                         rope_scaling=("dynamic", 2.0)), 2,
             4096, 4, None, True, "rbg", 256, "full", 8),
+        # sq8 long-context arms (r5): int8 residuals halve the 4k-token
+        # save set — the b1 arm upgrades to the widest policy, the b2 arm
+        # re-admits a projection-saving policy where only full remat fit
+        "llama2_7b_int4a8_qh_sq8_plse_L4096": (
+            _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
+                        rope_scaling=("dynamic", 2.0)), 1,
+            4096, 4, "proj_lse", True, "rbg", 256, "full", 8, True),
+        "llama2_7b_int4a8_qh_sq8_b2L4096": (
+            _dc.replace(LlamaConfig.llama2_7b(vocab_size=32011),
+                        rope_scaling=("dynamic", 2.0)), 2,
+            4096, 4, "qkvod_lse", True, "rbg", 256, "full", 8, True),
         "llama2_7b_int8": (LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024,
                            True, "qkvod_lse", True, "rbg", 256),
         "llama2_7b_int8_fullremat": (
