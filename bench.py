@@ -40,7 +40,8 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         pallas_ce=False, ce_rows=False,
         dropout_rate=0.05, fwd_only=False, rank_attn=True,
         flash_rank_attn=False, question_window=None, a8_dots=False,
-        quantize_head=False, save_q8=False):
+        quantize_head=False, save_q8=False, fused_dropout=False,
+        shared_dropout=False):
     import jax
     _enable_compile_cache()
     import jax.numpy as jnp
@@ -59,6 +60,10 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         spec = spec.with_bf16_dots()
     if flash_rank_attn:
         spec = spec.with_flash_rank_attn()
+    if fused_dropout:
+        spec = spec.with_fused_dropout()
+    if shared_dropout:
+        spec = spec.with_shared_dropout_masks()
     if question_window:
         # the bench question span is L//8 - 2 tokens (see mask below);
         # MUSIC-AVQA questions are far shorter than L/8 in practice

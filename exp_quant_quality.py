@@ -102,7 +102,18 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
     cfg = _config(scale)
     steps = steps or STEPS[scale]
     b, L = BATCH[scale], SEQLEN[scale]
-    spec = MokaSpec.avt(rank=4, dropout_rate=0.0)
+    # dropout arms ("...drop" = reference-style independent per-projection
+    # masks, "...dropsh" = one mask per distinct adapter input,
+    # MokaSpec.dropout_shared_masks): anchor that the mask-sharing
+    # throughput lever does not change convergence on the structured task
+    full_name, drop = variant, None
+    if variant.endswith("dropsh"):
+        drop, variant = "shared", variant[:-6]
+    elif variant.endswith("drop"):
+        drop, variant = "indep", variant[:-4]
+    spec = MokaSpec.avt(rank=4, dropout_rate=0.05 if drop else 0.0)
+    if drop == "shared":
+        spec = spec.with_shared_dropout_masks()
     if scale != "tiny":
         spec = spec.with_bf16_dots()
 
@@ -154,8 +165,10 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
         save_q8=(True if scale != "tiny" else
                  ("q", "o", "down", "gate", "up")) if sq8 else False)
     step = make_train_step(loss_fn, tx, donate=False)
-    eval_loss = jax.jit(lambda t, f, bt: loss_fn(t, f, bt,
-                                                 jax.random.key(1))[0])
+    # held-out eval runs with dropout INACTIVE (rng=None) so the dropout
+    # arms compare converged quality, not a mask realization; rate-0 arms
+    # are unchanged (their rng was never consumed)
+    eval_loss = jax.jit(lambda t, f, bt: loss_fn(t, f, bt, None)[0])
 
     data_rng = np.random.default_rng(seed)          # same stream per variant
     held_rng = np.random.default_rng(10_000 + seed)  # never trained on
@@ -172,8 +185,8 @@ def run_variant(variant: str, scale: str = "tiny", seed: int = 0,
             curve.append((i, float(metrics["loss"])))
     heldout = float(np.mean([float(eval_loss(state.params, frozen, hb))
                              for hb in held]))
-    return {"variant": variant, "scale": scale, "seed": seed, "steps": steps,
-            "batch": b, "seqlen": L,
+    return {"variant": full_name, "scale": scale, "seed": seed,
+            "steps": steps, "batch": b, "seqlen": L,
             "train_curve": [(i, round(l, 4)) for i, l in curve],
             "final_train_loss": round(curve[-1][1], 4),
             "heldout_loss": round(heldout, 4)}

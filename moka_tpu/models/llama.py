@@ -44,6 +44,13 @@ PROJ_DIMS = {  # name -> (d_in_attr, d_out_attr) resolved in init
 
 _PROJ_INDEX = {name: i for i, name in enumerate(PROJ_DIMS)}
 
+# projections grouped by the input tensor they read (q/k/v: the attn-norm
+# output; gate/up: the mlp-norm output) — used by
+# MokaSpec.dropout_shared_masks to fold one dropout rng per GROUP so XLA
+# CSE collapses the identical dropout chains (see moka.py)
+_PROJ_GROUP = {"q": 0, "k": 0, "v": 0, "o": 1, "gate": 2, "up": 2,
+               "down": 3}
+
 
 def _proj_shapes(cfg: LlamaConfig) -> dict[str, tuple[int, int]]:
     dims = {"dim": cfg.dim, "q_out": cfg.n_heads * cfg.head_dim,
@@ -148,7 +155,9 @@ def _apply_proj(name: str, x: Array, base_w, adapters: dict | None,
         return y + lora_delta(x, a[0], b, decode_scale(spec))
     rng = None
     if dropout_rng is not None and spec.dropout_rate > 0:
-        rng = jax.random.fold_in(dropout_rng, _PROJ_INDEX[name])
+        idx = _PROJ_GROUP[name] if spec.dropout_shared_masks \
+            else _PROJ_INDEX[name]
+        rng = jax.random.fold_in(dropout_rng, idx)
     if fused:
         # LoRA dropout applies only to the adapter's input (lora.py:371,
         # 403): apply it outside the kernel, keep the base matmul on the

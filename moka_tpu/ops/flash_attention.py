@@ -27,6 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Base-2 softmax: the wrappers fold scale * log2(e) into q, the kernels use
+# exp2 instead of exp (p = exp2(u - m) == exp(s - m) exactly, since
+# u = s * log2e), saving the per-element x*log2e multiply that exp lowers to
+# on the VPU — these kernels are transcendental-bound, so the score-matrix
+# exp passes are the cost.  The lse residual stays in NATURAL log units at
+# the kernel boundary (finalize converts per ROW, not per element), so
+# external consumers (ring attention's shard-lse combine) are unchanged;
+# dk needs a ln2 correction because it contracts against the pre-scaled q.
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 
 def _valid(q_ids, k_ids, mask_blk, causal, kv_len):
     # kv_len guards the ragged tail block (out-of-bounds lanes are padding)
@@ -64,8 +75,8 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _accum(s):
         m_prev = m_scr[:, 0]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
+        alpha = jnp.exp2(m_prev - m_cur)
+        p = jnp.exp2(s - m_cur[:, None])
         l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
         v = v_ref[0]
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
@@ -74,9 +85,9 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         m_scr[:, 0] = m_cur
 
     def _score():
-        # q arrives pre-scaled by 1/sqrt(hd) (folded once per call in the
-        # wrapper — one (L, hd) pass instead of a (bq, bk) pass per block;
-        # these kernels are VPU-bound, so score-matrix passes are the cost)
+        # q arrives pre-scaled by log2e/sqrt(hd) (folded once per call in
+        # the wrapper — one (L, hd) pass instead of a (bq, bk) pass per
+        # block), so s is in BASE-2 log units and _accum uses exp2
         return jax.lax.dot_general(q_ref[0], k_ref[0],
                                    (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
@@ -116,7 +127,8 @@ def _fwd_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         l = l_scr[:, 0]
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:] / safe[:, None]).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_scr[:, 0] + jnp.log(safe)
+        # natural-log units at the boundary: lse = ln2 * log2-sum-exp2
+        lse_ref[0, 0] = (m_scr[:, 0] + jnp.log2(safe)) * LN2
 
 
 # ------------------------------------------------------------ backward ----
@@ -139,18 +151,19 @@ def _bwd_dq_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
+        q = q_ref[0]  # pre-scaled by log2e/sqrt(hd) in the wrapper
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
-        lse_row = lse_ref[0, 0][:, None]
+        # lse arrives in natural units; s is base-2 — convert per ROW
+        lse_row = lse_ref[0, 0][:, None] * LOG2E
         # a fully-masked query row has lse = NEG_INF, making exp(s - lse) = 1
         # across the block; zero it so such rows contribute no gradient even
         # under nonzero cotangents
         p = jnp.where(lse_row > NEG_INF * 0.5,
-                      jnp.exp(s - lse_row), 0.0)
+                      jnp.exp2(s - lse_row), 0.0)
         do = do_ref[0]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -184,15 +197,16 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
+        q = q_ref[0]  # pre-scaled by log2e/sqrt(hd) in the wrapper
         k = k_ref[0]
         v = v_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len), s, NEG_INF)
-        lse_row = lse_ref[0, 0][:, None]
+        # lse arrives in natural units; s is base-2 — convert per ROW
+        lse_row = lse_ref[0, 0][:, None] * LOG2E
         p = jnp.where(lse_row > NEG_INF * 0.5,
-                      jnp.exp(s - lse_row), 0.0)  # (Bq, Bk)
+                      jnp.exp2(s - lse_row), 0.0)  # (Bq, Bk)
         do = do_ref[0]
         pb = p.astype(do.dtype)
         dv_scr[:] += jax.lax.dot_general(
@@ -201,14 +215,15 @@ def _bwd_dkv_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - delta_ref[0, 0][:, None])
-        # no trailing *scale: the pre-scaled q already carries it
+        # no trailing *scale: the pre-scaled q carries scale * log2e; the
+        # ln2 correction cancels the log2e at the (bk, hd) write-out below
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qb == nq - 1)
     def _():
-        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_scr[:] * LN2).astype(dk_ref.dtype)
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
@@ -225,15 +240,16 @@ def _bwd_fused_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     halving the score-matrix passes is the point."""
     q_ids = _ids(qoff_ref[0], q_ref.shape[1], 0)
     k_ids = _ids(0, k_ref.shape[1], 0)
-    q = q_ref[0]  # pre-scaled by 1/sqrt(hd) in the wrapper
+    q = q_ref[0]  # pre-scaled by log2e/sqrt(hd) in the wrapper
     k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     s = jnp.where(_valid(q_ids, k_ids, mask_ref[0, 0], causal, kv_len),
                   s, NEG_INF)
-    lse_row = lse_ref[0, 0][:, None]
-    p = jnp.where(lse_row > NEG_INF * 0.5, jnp.exp(s - lse_row), 0.0)
+    # lse arrives in natural units; s is base-2 — convert per ROW
+    lse_row = lse_ref[0, 0][:, None] * LOG2E
+    p = jnp.where(lse_row > NEG_INF * 0.5, jnp.exp2(s - lse_row), 0.0)
     do = do_ref[0]
     pb = p.astype(do.dtype)
     dv_ref[0] = jax.lax.dot_general(
@@ -246,10 +262,10 @@ def _bwd_fused_kernel(qoff_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     dq_ref[0] = (jax.lax.dot_general(
         dsb, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
-    # no trailing *scale on dk: the pre-scaled q already carries it
-    dk_ref[0] = jax.lax.dot_general(
+    # the pre-scaled q carries scale * log2e; ln2 cancels the log2e
+    dk_ref[0] = (jax.lax.dot_general(
         dsb, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        preferred_element_type=jnp.float32) * LN2).astype(dk_ref.dtype)
 
 
 def _flash_bwd_fused(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
@@ -260,7 +276,7 @@ def _flash_bwd_fused(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     KH, S = k.shape[1], k.shape[2]
     G = H // KH
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
+    q_r = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)
@@ -339,7 +355,7 @@ def _flash_fwd_res(q, k, v, attn_mask, q_offset, causal, scale, block_q,
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     q_block, kv_block, mask_block = _specs(B, H, KH, L, S, hd, bq, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q = (q * jnp.asarray(scale, q.dtype))  # folded 1/sqrt(hd), see kernel
+    q = (q * jnp.asarray(scale * LOG2E, q.dtype))  # folded 1/sqrt(hd), see kernel
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, causal=causal, scale=scale,
@@ -401,7 +417,7 @@ def _flash_bwd_dq(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     bq, bk = min(block_q, L), min(block_k, S)
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
+    q_r = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)
@@ -444,7 +460,7 @@ def _flash_bwd_dkv(q, k, v, attn_mask, dout, lse, delta, q_offset, causal,
     bq, bk = min(block_q, L), min(block_k, S)
     nq, nk = pl.cdiv(L, bq), pl.cdiv(S, bk)
     qoff = jnp.asarray(q_offset, jnp.int32).reshape(1)
-    q_r = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, L, hd)
+    q_r = (q * jnp.asarray(scale * LOG2E, q.dtype)).reshape(B * H, L, hd)
     k_r = k.reshape(B * KH, S, hd)
     v_r = v.reshape(B * KH, S, hd)
     do_r = dout.reshape(B * H, L, hd)

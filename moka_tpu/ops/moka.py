@@ -82,9 +82,33 @@ class MokaSpec:
     bf16_dots: bool = False
     flash_rank_attn: bool = False
     max_question_tokens: int | None = None
+    fused_dropout: bool = False
+    dropout_shared_masks: bool = False
 
     def with_bf16_dots(self) -> "MokaSpec":
         return dataclasses.replace(self, bf16_dots=True)
+
+    def with_fused_dropout(self) -> "MokaSpec":
+        """Run LoRA dropout fused into the A projection as a Pallas kernel
+        with in-kernel PRNG (``ops/fused_dropout.py``): one read of x per
+        pass instead of materializing the bits + the masked x_d per
+        projection — the dropout chain measured ~50 ms/step un-overlapped
+        on the 7B flagship.  Same Bernoulli(keep) semantics, different
+        random stream from the jnp path (as both differ from torch)."""
+        return dataclasses.replace(self, fused_dropout=True)
+
+    def with_shared_dropout_masks(self) -> "MokaSpec":
+        """One LoRA-dropout mask per DISTINCT adapter input tensor instead
+        of one per projection: q/k/v read the same rmsnorm output, gate/up
+        likewise — folding the same rng index for each group makes the
+        three dropout chains identical subgraphs that XLA CSE collapses to
+        one (7 -> 4 bits+mask chains per layer).  Each adapter still sees
+        exact per-element Bernoulli(keep) dropout with inverted scaling;
+        what changes vs the reference (independent per-module masks,
+        ``lora.py:371,403``) is only the CORRELATION of masks across
+        projections sharing an input.  Opt-in; quality-anchored before any
+        recipe promotion (exp_quant_quality.py)."""
+        return dataclasses.replace(self, dropout_shared_masks=True)
 
     def with_question_window(self, kq: int) -> "MokaSpec":
         """Bound the rank-attention key set to a static window of ``kq``
@@ -268,15 +292,20 @@ def moka_delta(x: Array, lora_a: Array, lora_b: Array,
         lora_b = lora_b.astype(jnp.bfloat16)
         x = x.astype(jnp.bfloat16)
 
-    x_d = x
-    if dropout_rng is not None and spec.dropout_rate > 0.0:
-        x_d = lora_dropout(x, dropout_rng, spec.dropout_rate)
-
-    # (x * mask_i) @ A_i == mask_i * (x @ A_i): one batched matmul for all
-    # modalities, masked afterwards.  (M, b, L, r)
-    a_all = jnp.einsum("bld,mdr->mblr", x_d, lora_a,
-                       preferred_element_type=jnp.float32,
-                       precision=prec)
+    drop_active = dropout_rng is not None and spec.dropout_rate > 0.0
+    if drop_active and spec.fused_dropout:
+        # dropout fused into the A dot (in-kernel PRNG) — x_d and the bits
+        # never touch HBM; see ops/fused_dropout.py
+        from moka_tpu.ops.fused_dropout import dropout_a_proj
+        a_all = dropout_a_proj(x, lora_a, dropout_rng, spec.dropout_rate)
+    else:
+        x_d = lora_dropout(x, dropout_rng, spec.dropout_rate) \
+            if drop_active else x
+        # (x * mask_i) @ A_i == mask_i * (x @ A_i): one batched matmul for
+        # all modalities, masked afterwards.  (M, b, L, r)
+        a_all = jnp.einsum("bld,mdr->mblr", x_d, lora_a,
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
     a_all = a_all * modality_masks[..., None] * jnp.float32(spec.pre_scale)
 
     keys = a_all[0] * question_mask[..., None]  # (b, L, r)
