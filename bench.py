@@ -175,7 +175,7 @@ def run(cfg_name, cfg, batch, seqlen, use_flash=True, fused_loss=True,
         "bf16_dots": bf16_dots, "fused_moka": fused_moka,
         "rng_impl": rng_impl, "question_window": question_window,
         "a8_dots": a8_dots, "quantized_head": quantize_head,
-        "save_q8": save_q8,
+        "save_q8": save_q8, "shared_dropout": shared_dropout,
     }
 
 
@@ -624,6 +624,23 @@ def _candidates():
         # backward), which only fits beside the int4 base BECAUSE the
         # residuals are int8.  Measured 5,413.7/5,460.7 vs 5,325.5/5,371.6
         # at proj_nokv_lse (+1.7%) — crosses 2.0x vs the A100 estimate.
+        # The shipping text flagship (r5, second session): + shared dropout
+        # masks (`MokaSpec.dropout_shared_masks`): one LoRA-dropout mask
+        # per DISTINCT adapter input (q/k/v share the attn-norm output,
+        # gate/up the mlp-norm output), so XLA CSE collapses the identical
+        # bits+mask chains 7 -> 4 per layer.  A dropout-off A/B showed the
+        # chain costs ~50 ms/step NOT hidden by the scheduler (5,800 vs
+        # 5,415 tok/s); sharing recovers ~half: measured 5,536.8/5,601.8
+        # (+2.2%/+2.5%).  Exact per-element Bernoulli(keep) semantics —
+        # only cross-projection mask correlation differs from the
+        # reference's independent per-module masks (lora.py:371,403);
+        # convergence anchored by the drop/dropsh arms of
+        # exp_quant_quality.py (PERFORMANCE.md r5)
+        "llama2_7b_int4a8_qh_sq8_plse_shd": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_lse", True, "rbg", 256, "full", 8, True, True),
+        # reference-faithful dropout (independent per-projection masks):
+        # the prior flagship, kept as the parity-recipe row
         "llama2_7b_int4a8_qh_sq8_plse": (
             LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
             "proj_lse", True, "rbg", 256, "full", 8, True),
@@ -704,10 +721,12 @@ def run_one(name: str) -> None:
     a8 = v[8] if len(v) > 8 else False
     qh = v[9] if len(v) > 9 else False
     sq8 = v[10] if len(v) > 10 else False
+    shd = v[11] if len(v) > 11 else False
     print(json.dumps(run(name, cfg, b, L, quantize=quant, remat_policy=pol,
                          bf16_dots=bf16, rng_impl=rng_impl,
                          question_window=qw or None, a8_dots=a8,
-                         quantize_head=qh, save_q8=sq8)))
+                         quantize_head=qh, save_q8=sq8,
+                         shared_dropout=shd)))
 
 
 def main():

@@ -85,6 +85,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--rng-impl", default="rbg",
                    help="dropout PRNG ('rbg' = fast TPU RngBitGenerator, "
                         "'threefry2x32' = jax default)")
+    p.add_argument("--shared-dropout-masks", action="store_true",
+                   help="one LoRA-dropout mask per distinct adapter input "
+                        "(q/k/v; gate/up) instead of per projection — XLA "
+                        "CSE collapses the identical chains (+2.5% step "
+                        "throughput at 7B).  Same per-element Bernoulli "
+                        "rate; only cross-projection mask correlation "
+                        "differs from the reference (convergence anchored "
+                        "by the drop/dropsh arms of exp_quant_quality.py). "
+                        "Default OFF = reference-faithful independent masks")
     p.add_argument("--a8-dots", nargs="?", const=True, default=False,
                    choices=[True, False, "full"],
                    help="dynamic per-token int8 activations on the "
@@ -147,6 +156,8 @@ def main(argv=None):
         spec = spec.with_bf16_dots()
     if args.question_window:
         spec = spec.with_question_window(args.question_window)
+    if args.shared_dropout_masks:
+        spec = spec.with_shared_dropout_masks()
     remat_policy = args.remat_policy
     if remat_policy == "auto":
         remat_policy = None if args.model_preset == "tiny" else "qkvod"
