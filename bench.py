@@ -624,26 +624,25 @@ def _candidates():
         # backward), which only fits beside the int4 base BECAUSE the
         # residuals are int8.  Measured 5,413.7/5,460.7 vs 5,325.5/5,371.6
         # at proj_nokv_lse (+1.7%) — crosses 2.0x vs the A100 estimate.
-        # The shipping text flagship (r5, second session): + shared dropout
-        # masks (`MokaSpec.dropout_shared_masks`): one LoRA-dropout mask
-        # per DISTINCT adapter input (q/k/v share the attn-norm output,
-        # gate/up the mlp-norm output), so XLA CSE collapses the identical
-        # bits+mask chains 7 -> 4 per layer.  A dropout-off A/B showed the
-        # chain costs ~50 ms/step NOT hidden by the scheduler (5,800 vs
-        # 5,415 tok/s); sharing recovers ~half: measured 5,536.8/5,601.8
-        # (+2.2%/+2.5%).  Exact per-element Bernoulli(keep) semantics —
-        # only cross-projection mask correlation differs from the
-        # reference's independent per-module masks (lora.py:371,403);
-        # convergence anchored by the drop/dropsh arms of
-        # exp_quant_quality.py (PERFORMANCE.md r5)
-        "llama2_7b_int4a8_qh_sq8_plse_shd": (
-            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
-            "proj_lse", True, "rbg", 256, "full", 8, True, True),
-        # reference-faithful dropout (independent per-projection masks):
-        # the prior flagship, kept as the parity-recipe row
         "llama2_7b_int4a8_qh_sq8_plse": (
             LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
             "proj_lse", True, "rbg", 256, "full", 8, True),
+        # Shared dropout masks (`MokaSpec.dropout_shared_masks`, r5 second
+        # session): one LoRA-dropout mask per DISTINCT adapter input (q/k/v
+        # share the attn-norm output, gate/up the mlp-norm output) so XLA
+        # CSE collapses the identical bits+mask chains 7 -> 4 per layer.
+        # A dropout-off A/B showed the chain costs ~50 ms/step NOT hidden
+        # by the scheduler (5,800 vs 5,415 tok/s); sharing recovers ~half:
+        # measured 5,536.8/5,601.8 (+2.2%/+2.5%).  Exact per-element
+        # Bernoulli(keep) semantics, but the 1B convergence anchor
+        # (drop/dropsh arms) measures a CONSISTENT +0.6% mean held-out
+        # penalty (3/3 seeds) from the lost cross-projection mask
+        # independence — below this repo's promotion bar, so the lever
+        # ships as a measured OPT-IN (--shared-dropout-masks), not the
+        # flagship (PERFORMANCE.md r5 second session)
+        "llama2_7b_int4a8_qh_sq8_plse_shd": (
+            LlamaConfig.llama2_7b(vocab_size=32011), 4, 1024, 4,
+            "proj_lse", True, "rbg", 256, "full", 8, True, True),
         "llama2_7b_int4a8_qh": (LlamaConfig.llama2_7b(vocab_size=32011), 4,
                                 1024, 4, "proj_nokv_lse", True, "rbg", 256,
                                 "full", 8),

@@ -90,10 +90,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(q/k/v; gate/up) instead of per projection — XLA "
                         "CSE collapses the identical chains (+2.5% step "
                         "throughput at 7B).  Same per-element Bernoulli "
-                        "rate; only cross-projection mask correlation "
-                        "differs from the reference (convergence anchored "
-                        "by the drop/dropsh arms of exp_quant_quality.py). "
-                        "Default OFF = reference-faithful independent masks")
+                        "rate, but the 1B anchor (drop/dropsh arms, "
+                        "exp_quant_quality.py) measures a consistent "
+                        "+0.6% mean held-out penalty at 150 steps from "
+                        "the lost cross-projection mask independence — "
+                        "weigh the trade for your run.  Default OFF = "
+                        "reference-faithful independent masks")
     p.add_argument("--a8-dots", nargs="?", const=True, default=False,
                    choices=[True, False, "full"],
                    help="dynamic per-token int8 activations on the "
